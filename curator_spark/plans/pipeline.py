@@ -1,0 +1,70 @@
+"""The quality-filter pipeline: extract -> langid -> perplexity -> heuristics
+-> scrub -> verdict, as one declarative Spark plan.
+
+Spark restatement of the reference's request->response->parse lifecycle
+(SURVEY.md §3.1): the whole chain after the initial repartition is a single
+shuffle-free stage — scan -> one fused pandas UDF -> whole-stage-codegen'd
+heuristics/verdict — so Catalyst pipelines it end-to-end and throughput
+scales with cores (no barrier, no driver round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.partitioning import salted_repartition
+from ..operators.heuristics import heuristics_stage
+from ..operators.udf_stages import fused_score_stage
+from ..operators.verdict import verdict_stage
+
+OUTPUT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "lang",
+    "extracted_text",
+    "scrubbed_text",
+    "lang_pred",
+    "lang_conf",
+    "perplexity",
+    "n_chars",
+    "n_words",
+    "mean_word_len",
+    "stop_density",
+    "symbol_ratio",
+    "repeated_line_frac",
+    "dup_word_frac",
+    "scrub_email",
+    "scrub_phone",
+    "scrub_ip",
+    "scrub_ssn",
+    "scrub_toxicity",
+    "drop_rules",
+    "score",
+    "keep",
+]
+
+
+def quality_filter(
+    pages: DataFrame,
+    repartition_to: int | None = None,
+    salt: str | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> verdict table.
+
+    ``repartition_to``: explicit salted url-hash repartition before the
+    scoring stage (north rule). Leave None for narrow, scan-partitioned
+    execution when the input layout is already uniform.
+    """
+    df = pages
+    if repartition_to:
+        df = salted_repartition(df, "url", repartition_to, *( [salt] if salt else [] ))
+    df = fused_score_stage(df)  # ONE Arrow boundary: extract+truncate+langid+ppl+scrub
+    df = heuristics_stage(df, text_col="text_t")  # native codegen
+    df = verdict_stage(df)  # native codegen
+    return df.select(*OUTPUT_COLUMNS)
+
+
+def kept_pages(verdicts: DataFrame) -> DataFrame:
+    """The keep side (F5) — what downstream training-data jobs consume."""
+    return verdicts.filter(F.col("keep")).select("url", "warc_ts", "lang_pred", "scrubbed_text")

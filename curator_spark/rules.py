@@ -1,0 +1,315 @@
+"""Pure per-row rule functions — the single source of truth for row semantics.
+
+Both execution paths import THIS module:
+
+- the Spark stages (``operators/``) apply these functions inside Arrow-batched
+  pandas UDFs, and
+- the single-node golden oracle (``oracle.py``) applies them with pandas.
+
+so "byte-identical extracted/scrubbed text per url" (BASELINE.json
+input_hint) and keep/drop F1 are structural: both sides literally run the
+same bytes. This mirrors how the reference pins behavior with recorded
+golden cassettes + sha256 hash books
+(/root/reference/tests/integrations/test_all.py:24-25, tests/conftest.py:30-50)
+— except our expensive operator is deterministic, so no recording is needed.
+
+Everything here must stay a pure function of its arguments (no time, no
+randomness, no env) so results are stable under Spark reshuffles/retries
+(SURVEY.md §7 "Determinism under reshuffle").
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Tokenization (shared contract with the native-Column and DuckDB versions:
+# ASCII-whitespace split of the trimmed, lowercased text; empty -> []).
+# ---------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def tokens(text: str) -> list[str]:
+    t = text.strip()
+    if not t:
+        return []
+    return _WS_RE.split(t)
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction.
+# Analog of the reference's input contract: FineWeb rows arrive pre-extracted
+# (/root/reference/examples/custom/download_data.py:14-22); our pages table
+# carries raw html (input_hint), so extraction is stage 0. The generator
+# (datagen.py) wraps the ground-truth text in exactly one <p>...</p> inside a
+# boilerplate shell, so extraction must return that span byte-identically.
+# ---------------------------------------------------------------------------
+
+_P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+
+
+def extract_text(html_bytes: bytes | None) -> str:
+    """Extract main text: content of the first <p>...</p> element.
+
+    Returns "" for undecodable/markerless documents (counted, not failed —
+    parity with per-row error capture, /root/reference/src/bespokelabs/curator/
+    llm/prompt_formatter.py:129-195).
+    """
+    if html_bytes is None:
+        return ""
+    try:
+        html = bytes(html_bytes).decode("utf-8")
+    except UnicodeDecodeError:
+        return ""
+    m = _P_RE.search(html)
+    return m.group(1) if m else ""
+
+
+# ---------------------------------------------------------------------------
+# Char-class census. Behavioral parity with the reference's
+# examples/custom/utils.py:4-36 (count_char_types): English letters, Arabic
+# block, digits, whitespace, punctuation/symbol, other-script letters.
+# Implemented as one regex count per class (vectorizable; also expressible as
+# native Spark columns — operators/heuristics.py keeps the native variant).
+# ---------------------------------------------------------------------------
+
+_CENSUS_PATTERNS = {
+    "english_count": re.compile(r"[A-Za-z]"),
+    "arabic_count": re.compile(r"[؀-ۿݐ-ݿࢠ-ࣿ]"),
+    "digit_count": re.compile(r"[0-9]"),
+    "whitespace_count": re.compile(r"[ \t\n\r\f\v]"),
+    # ASCII punctuation & symbols (reference uses unicodedata category P*/S*;
+    # our corpora are ASCII-dominant so this class is the ASCII P/S set).
+    "punct_symbol_count": re.compile(r"[!-/:-@\[-`{-~]"),
+}
+
+
+def char_census(text: str) -> dict[str, int]:
+    counts = {k: len(p.findall(text)) for k, p in _CENSUS_PATTERNS.items()}
+    counted = sum(counts.values())
+    counts["other_count"] = len(text) - counted
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# Language ID — deterministic lexicon + script model (fastText-style linear
+# scorer reduced to exact-match features so it is reproducible everywhere).
+# The "model" is data (LANG_LEXICONS) broadcast with the job; loaded once per
+# executor like the reference's load-once vLLM pattern
+# (/root/reference/src/bespokelabs/curator/request_processor/offline/
+# vllm_offline_request_processor.py:41-52).
+# ---------------------------------------------------------------------------
+
+LANG_LEXICONS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the a an and or of to in is are was be this that it for on with as "
+        "at by from not have has had but they you we he she will can do".split()
+    ),
+    "fr": frozenset(
+        "le la les un une des et ou de dans est sont pour avec que qui ne pas "
+        "au aux ce cette il elle nous vous je tu".split()
+    ),
+    "es": frozenset(
+        "el la los las un una y o de en es son para con que no se al lo "
+        "este esta por su mi tu nosotros usted".split()
+    ),
+    "de": frozenset(
+        "der die das ein eine und oder von zu im ist sind war für mit als "
+        "nicht haben hat aber sie wir er es ich du".split()
+    ),
+}
+
+_ARABIC_RE = _CENSUS_PATTERNS["arabic_count"]
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def langid(text: str) -> tuple[str, float]:
+    """Predict (lang, confidence). Script check first (ar/zh), then lexicon
+    vote over word tokens. confidence = top_hits / scored_tokens in [0,1];
+    0.0 when nothing matches (-> 'und')."""
+    if not text:
+        return "und", 0.0
+    n_ar = len(_ARABIC_RE.findall(text))
+    n_zh = len(_CJK_RE.findall(text))
+    n = len(text)
+    if n_ar * 2 > n:
+        return "ar", min(1.0, n_ar / n)
+    if n_zh * 2 > n:
+        return "zh", min(1.0, n_zh / n)
+    toks = [t.lower() for t in tokens(text)]
+    if not toks:
+        return "und", 0.0
+    scores = {lang: 0 for lang in LANG_LEXICONS}
+    for t in toks:
+        for lang, lex in LANG_LEXICONS.items():
+            if t in lex:
+                scores[lang] += 1
+    # deterministic argmax: score desc, then lang asc
+    best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    if best[1] == 0:
+        return "und", 0.0
+    return best[0], best[1] / len(toks)
+
+
+# ---------------------------------------------------------------------------
+# PII / toxicity scrub. Reference analog: the score-0 criteria of the scoring
+# rubric (explicit/harmful content, /root/reference/examples/custom/score.py:
+# 25-28) plus deterministic string post-processing (score.py:69-98). Python
+# `re` on purpose: Java-regex dialect differences would break byte parity
+# (SURVEY.md §7 hard parts), so the scrub runs inside the pandas UDF.
+# Order of application is part of the contract: email, phone, ip, ssn,
+# then toxicity lexicon.
+# ---------------------------------------------------------------------------
+
+SCRUB_PATTERNS: list[tuple[str, re.Pattern, str]] = [
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
+    (
+        "phone",
+        re.compile(r"(?<!\d)(?:\+?1[-. ])?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}(?!\d)"),
+        "<PHONE>",
+    ),
+    (
+        "ip",
+        re.compile(r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)"),
+        "<IP>",
+    ),
+    ("ssn", re.compile(r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)"), "<ID>"),
+]
+
+# Stand-in lexicon: deterministic placeholder tokens, NOT real slurs — the
+# engine's contract is "lexicon-driven masking", the lexicon itself is config.
+TOXICITY_LEXICON: tuple[str, ...] = (
+    "badword1",
+    "badword2",
+    "badword3",
+    "slurword",
+    "hateterm",
+)
+
+_TOX_RE = re.compile(
+    r"\b(" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b",
+    re.IGNORECASE,
+)
+
+
+def scrub_text(text: str) -> tuple[str, dict[str, int]]:
+    """Mask PII + toxicity. Returns (scrubbed_text, hits-per-rule)."""
+    counts: dict[str, int] = {}
+    out = text
+    for name, pat, repl in SCRUB_PATTERNS:
+        out, n = pat.subn(repl, out)
+        counts[name] = n
+    out, n = _TOX_RE.subn("<TOX>", out)
+    counts["toxicity"] = n
+    return out, counts
+
+
+# ---------------------------------------------------------------------------
+# Heuristic quality rules (Gopher/C4-style). Thresholds are engine config;
+# pinned here as the golden contract. The Spark side computes these with
+# NATIVE column expressions (operators/heuristics.py) — this python version
+# exists for the oracle and must stay semantically identical.
+# ---------------------------------------------------------------------------
+
+MIN_CHARS = 50
+MAX_CHARS = 20_000
+MIN_MEAN_WORD_LEN = 2.0
+MAX_MEAN_WORD_LEN = 12.0
+MAX_SYMBOL_RATIO = 0.5
+MIN_STOPWORD_DENSITY = 0.01
+MAX_REPEATED_LINE_FRAC = 0.30
+MAX_DUP_WORD_FRAC = 0.90
+MAX_PERPLEXITY = 22.0  # calibrated: clean/marker pages <= ~21, gibberish >= ~24
+MIN_LANG_CONF = 0.05
+TRUNCATE_CHARS = 10_000  # parity: input['text'][:10_000], score.py:104
+
+# ASCII punctuation/symbols only — non-Latin *letters* (CJK, Arabic) must not
+# count as symbols or the rule penalizes every non-English page.
+_SYMBOL_RE = re.compile(r"[!-/:-@\[-`{-~]")
+
+
+def heuristic_stats(text: str) -> dict[str, float]:
+    """Raw per-doc statistics feeding the rule flags."""
+    toks = tokens(text)
+    n_words = len(toks)
+    n_chars = len(text)
+    mean_word_len = (sum(len(t) for t in toks) / n_words) if n_words else 0.0
+    lower = [t.lower() for t in toks]
+    en_lex = LANG_LEXICONS["en"]
+    stop_hits = sum(1 for t in lower if t in en_lex)
+    stop_density = (stop_hits / n_words) if n_words else 0.0
+    n_symbols = len(_SYMBOL_RE.findall(text))
+    symbol_ratio = n_symbols / n_words if n_words else 0.0
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    repeated_line_frac = (1.0 - len(set(lines)) / len(lines)) if len(lines) > 1 else 0.0
+    dup_word_frac = (1.0 - len(set(lower)) / n_words) if n_words else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "stop_density": stop_density,
+        "symbol_ratio": symbol_ratio,
+        "repeated_line_frac": repeated_line_frac,
+        "dup_word_frac": dup_word_frac,
+    }
+
+
+# Rule ids are the stable names reported in drop_rules / metrics.
+RULE_NAMES = (
+    "len",
+    "mean_word",
+    "symbol",
+    "stopword",
+    "repeated_line",
+    "dup_word",
+    "perplexity",
+    "lang_conf",
+    "toxicity",
+)
+
+
+def rule_flags(
+    stats: dict[str, float],
+    perplexity: float,
+    lang_pred: str,
+    lang_conf: float,
+    tox_hits: int,
+) -> dict[str, bool]:
+    return {
+        "len": stats["n_chars"] < MIN_CHARS or stats["n_chars"] > MAX_CHARS,
+        "mean_word": (
+            stats["n_words"] > 0
+            and (
+                stats["mean_word_len"] < MIN_MEAN_WORD_LEN
+                or stats["mean_word_len"] > MAX_MEAN_WORD_LEN
+            )
+        ),
+        "symbol": stats["symbol_ratio"] > MAX_SYMBOL_RATIO,
+        "stopword": lang_pred == "en" and stats["stop_density"] < MIN_STOPWORD_DENSITY,
+        "repeated_line": stats["repeated_line_frac"] > MAX_REPEATED_LINE_FRAC,
+        "dup_word": stats["dup_word_frac"] > MAX_DUP_WORD_FRAC,
+        "perplexity": perplexity > MAX_PERPLEXITY,
+        "lang_conf": lang_conf < MIN_LANG_CONF,
+        "toxicity": tox_hits > 0,
+    }
+
+
+# Hard-drop rules force score 0 (analog of the rubric's score-0 class,
+# score.py:25-28); soft rules subtract from 5; clip to [0,5] like
+# np.clip(int(x),0,5) in examples/custom/predict.py:63 / train_classifier.py:54.
+# "len" is hard: an empty/markerless extraction or absurd length is
+# incoherent-by-construction and must never be kept (score-0 class).
+HARD_RULES = ("toxicity", "perplexity", "symbol", "len")
+KEEP_THRESHOLD = 3
+
+
+def score_and_verdict(flags: dict[str, bool]) -> tuple[int, bool, list[str]]:
+    fired = [r for r in RULE_NAMES if flags[r]]
+    if any(flags[r] for r in HARD_RULES):
+        score = 0
+    else:
+        score = 5 - len(fired)
+    score = max(0, min(5, score))
+    keep = score >= KEEP_THRESHOLD
+    return score, keep, fired

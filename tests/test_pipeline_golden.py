@@ -1,0 +1,63 @@
+"""Golden-fixture parity: the distributed pipeline must reproduce the
+single-node oracle byte-for-byte (text) and exactly (verdicts) — the analog
+of the reference's sha256 hash-book checks
+(/root/reference/tests/integrations/test_all.py:24-25)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from curator_spark.plans.pipeline import quality_filter
+
+
+@pytest.fixture(scope="module")
+def result(pages_df) -> pd.DataFrame:
+    out = quality_filter(pages_df).toPandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def test_pipeline_matches_oracle(result, golden):
+    res = result
+    gold = golden.sort_values("url").reset_index(drop=True)
+    assert len(res) == len(gold) > 0
+    assert list(res["url"]) == list(gold["url"])
+
+    # byte-identical text contracts (BASELINE.json input_hint)
+    assert res["extracted_text"].equals(gold["extracted_text"])
+    assert res["scrubbed_text"].equals(gold["scrubbed_text"])
+
+    # exact model outputs (same pure functions both sides)
+    assert list(res["lang_pred"]) == list(gold["lang_pred"])
+    assert res["lang_conf"].tolist() == gold["lang_conf"].tolist()
+    assert res["perplexity"].tolist() == gold["perplexity"].tolist()
+
+    # verdict agreement: structurally F1 = 1.0 (target >= 0.99)
+    assert res["score"].tolist() == gold["score"].tolist()
+    assert res["keep"].tolist() == gold["keep"].tolist()
+    assert [list(x) for x in res["drop_rules"]] == list(gold["drop_rules"])
+
+
+def test_keep_drop_f1(result, golden):
+    res = result
+    gold = golden.sort_values("url").reset_index(drop=True)
+    tp = int(((res["keep"]) & (gold["keep"])).sum())
+    fp = int(((res["keep"]) & (~gold["keep"])).sum())
+    fn = int(((~res["keep"]) & (gold["keep"])).sum())
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, f"keep/drop F1 {f1} below target"
+    # both classes must actually occur in the fixture
+    assert 0 < int(gold["keep"].sum()) < len(gold)
+
+
+def test_content_classes_exercised(golden):
+    """Every drop rule and scrub rule fires somewhere in the fixture."""
+    fired = set()
+    for lst in golden["drop_rules"]:
+        fired.update(lst)
+    assert {"toxicity", "perplexity", "repeated_line", "symbol"} <= fired, fired
+    scrubs = pd.DataFrame(list(golden["scrubs"]))
+    for rule in ("email", "phone", "ip", "toxicity"):
+        assert scrubs[rule].sum() > 0, f"scrub rule {rule} never fired"
