@@ -1,0 +1,292 @@
+"""Lifecycle runner — the curator-semantics layer (SURVEY.md §7 M4).
+
+Re-expresses the reference's driver-side lifecycle on Spark:
+
+- **Run fingerprint** (whole-run memoization): content hash of input path +
+  config + the source of every semantics-bearing module. Analog of
+  xxh64(dataset fingerprint, prompt-func pickle hash, model, params)
+  (/root/reference/src/bespokelabs/curator/llm/llm.py:140-165, :271-302).
+- **Cache probe**: committed output for the same fingerprint -> return it
+  without launching a job (base_request_processor.py:127-130,315-336).
+- **Chunked execution + staged commit**: the input is split into
+  deterministic url-hash chunks (analog of ceil(n/batch_size) request files,
+  base_request_processor.py:252-270); each chunk's output is written to a
+  staging dir then atomically renamed with a manifest — the parquet stand-in
+  for an Iceberg snapshot commit (SURVEY.md §7 "Resume atomicity without
+  Iceberg"). At real scale chunks map to Iceberg partition predicates
+  (warc_ts date / url-hash bucket), so per-chunk scans prune instead of
+  rescanning.
+- **Resume**: on rerun, committed chunks are skipped entirely; a partially
+  written chunk is invisible (staging never renamed) and recomputed. Row-level
+  parity with the completed-ids anti-join (base_online_request_processor.py:
+  332-336,354) comes free: chunk membership is a pure function of url.
+- **Metrics + lineage**: per (run, chunk, spark partition) counter rows —
+  docs seen/kept/dropped/scrubbed per rule — appended to a metrics table
+  (analog of the status trackers, online_status_tracker.py:44-93).
+- **Run catalog**: one row per run in a ``runs`` table (analog of the SQLite
+  metadata DB, db.py:61-137).
+- **Bounded retries**: failed chunks retried up to ``max_attempts`` on top of
+  Spark's own task retries (config.py:28 semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import lm as _lm_mod
+from .. import rules as _rules_mod
+from ..functions.partitioning import DEFAULT_SALT
+from . import pipeline as _pipeline_mod
+
+
+@dataclass
+class RunConfig:
+    input_path: str
+    output_root: str
+    num_chunks: int = 4
+    repartition_to: int | None = None
+    salt: str = DEFAULT_SALT
+    max_attempts: int = 3
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "input_path": self.input_path,
+                "num_chunks": self.num_chunks,
+                "repartition_to": self.repartition_to,
+                "salt": self.salt,
+                "extra": self.extra,
+            },
+            sort_keys=True,
+        )
+
+
+def run_fingerprint(config: RunConfig) -> str:
+    """Deterministic run id: config + semantics-module sources.
+
+    Editing rules.py / lm.py / pipeline.py invalidates the cache exactly like
+    the reference's dill function-hash invalidates on closure edits
+    (tests/unittests/test_caching.py:99-184 semantics)."""
+    h = hashlib.sha256()
+    h.update(config.to_json().encode())
+    for mod in (_rules_mod, _lm_mod, _pipeline_mod):
+        h.update(inspect.getsource(mod).encode())
+    return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Staged-commit primitives (Iceberg-snapshot stand-in on plain parquet)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_dir(run_dir: str, chunk: int) -> str:
+    return os.path.join(run_dir, f"chunk={chunk}")
+
+
+def _is_committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _staged_write(df: DataFrame, final_dir: str) -> None:
+    """Write to a staging dir, then atomic rename. A crash mid-write leaves
+    only staging garbage, never a half-visible commit."""
+    staging = final_dir + f".staging-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(staging, final_dir)
+
+
+def _append_table(root: str, name: str, pdf: pd.DataFrame) -> None:
+    """Append-only driver-side table (metrics / runs catalog): one unique
+    parquet file per append, read back as a directory dataset."""
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    pdf = pdf.copy()
+    for col in pdf.columns:  # Spark's parquet reader rejects TIMESTAMP(NANOS)
+        if str(pdf[col].dtype).startswith("datetime64[ns"):
+            pdf[col] = pdf[col].astype("datetime64[us, UTC]")
+    pdf.to_parquet(os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"), index=False)
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, name))
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+_SCRUB_RULES = ("email", "phone", "ip", "ssn", "toxicity")
+
+
+def _chunk_metrics(out: DataFrame, run_id: str, chunk: int, wall_ms: int) -> pd.DataFrame:
+    """Per-spark-partition counters over the committed chunk output."""
+    aggs = [
+        F.count("*").alias("docs_seen"),
+        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("docs_dropped"),
+        F.sum((F.size("drop_rules") > 0).cast("long")).alias("docs_flagged"),
+    ]
+    for r in _rules_mod.RULE_NAMES:
+        aggs.append(
+            F.sum(F.array_contains("drop_rules", r).cast("long")).alias(f"drops_{r}")
+        )
+    for s in _SCRUB_RULES:
+        aggs.append(F.sum(F.col(f"scrub_{s}")).alias(f"scrubs_{s}"))
+    pdf = (
+        out.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(*aggs)
+        .toPandas()
+    )
+    pdf.insert(0, "run_id", run_id)
+    pdf.insert(1, "chunk", chunk)
+    pdf["wall_ms"] = wall_ms
+    pdf["committed_at"] = datetime.now(timezone.utc)
+    return pdf
+
+
+# ---------------------------------------------------------------------------
+# The runner
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    run_dir: str
+    cache_hit: bool
+    chunks_run: int
+    chunks_skipped: int
+
+
+def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
+    """Execute (or resume, or cache-hit) a full quality-filter run."""
+    run_id = run_fingerprint(config)
+    run_dir = os.path.join(config.output_root, "runs", run_id)
+    os.makedirs(run_dir, exist_ok=True)
+    manifest_path = os.path.join(run_dir, "manifest.json")
+
+    if os.path.exists(manifest_path):  # cache probe: whole-run memoization
+        return RunResult(run_id, run_dir, cache_hit=True, chunks_run=0, chunks_skipped=config.num_chunks)
+
+    _append_table(
+        config.output_root,
+        "runs_catalog",
+        pd.DataFrame(
+            [
+                {
+                    "run_id": run_id,
+                    "input_snapshot": config.input_path,
+                    "config_json": config.to_json(),
+                    "status": "STARTED",
+                    "event_time": datetime.now(timezone.utc),
+                }
+            ]
+        ),
+    )
+
+    pages = spark.read.parquet(config.input_path)
+    # chunk membership = pure function of url -> stable across reruns/retries
+    bucket = F.pmod(F.xxhash64(F.col("url"), F.lit(config.salt)), F.lit(config.num_chunks))
+
+    chunks_run = 0
+    chunks_skipped = 0
+    for chunk in range(config.num_chunks):
+        cdir = _chunk_dir(run_dir, chunk)
+        if _is_committed(cdir):  # resume: committed snapshot -> skip
+            chunks_skipped += 1
+            continue
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                t0 = time.monotonic()
+                part = pages.filter(bucket == chunk)
+                out = _pipeline_mod.quality_filter(
+                    part, repartition_to=config.repartition_to, salt=config.salt
+                )
+                _staged_write(out, cdir)
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                committed = spark.read.parquet(cdir)
+                _append_table(
+                    config.output_root, "metrics", _chunk_metrics(committed, run_id, chunk, wall_ms)
+                )
+                chunks_run += 1
+                break
+            except Exception:
+                if attempt >= config.max_attempts:
+                    _append_table(
+                        config.output_root,
+                        "runs_catalog",
+                        pd.DataFrame(
+                            [
+                                {
+                                    "run_id": run_id,
+                                    "input_snapshot": config.input_path,
+                                    "config_json": config.to_json(),
+                                    "status": "FAILED",
+                                    "event_time": datetime.now(timezone.utc),
+                                }
+                            ]
+                        ),
+                    )
+                    raise
+
+    # require_all check (config.py:30 semantics): every chunk committed
+    missing = [c for c in range(config.num_chunks) if not _is_committed(_chunk_dir(run_dir, c))]
+    if missing:
+        raise RuntimeError(f"run {run_id} incomplete, missing chunks {missing}")
+
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(
+            {
+                "run_id": run_id,
+                "config": json.loads(config.to_json()),
+                "num_chunks": config.num_chunks,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+            },
+            f,
+        )
+    os.rename(manifest_path + ".tmp", manifest_path)
+
+    _append_table(
+        config.output_root,
+        "runs_catalog",
+        pd.DataFrame(
+            [
+                {
+                    "run_id": run_id,
+                    "input_snapshot": config.input_path,
+                    "config_json": config.to_json(),
+                    "status": "COMPLETED",
+                    "event_time": datetime.now(timezone.utc),
+                }
+            ]
+        ),
+    )
+    return RunResult(run_id, run_dir, cache_hit=False, chunks_run=chunks_run, chunks_skipped=chunks_skipped)
+
+
+def load_output(spark: SparkSession, result: RunResult) -> DataFrame:
+    return spark.read.parquet(os.path.join(result.run_dir, "chunk=*"))
+
+
+def resume_remainder(spark: SparkSession, pages: DataFrame, result: RunResult) -> DataFrame:
+    """Row-level anti-join view: input rows not yet in committed output
+    (J2/F1, SURVEY.md §2.5) — for ad-hoc remainder inspection."""
+    done = load_output(spark, result).select("url")
+    return pages.join(done, "url", "left_anti")

@@ -1,0 +1,93 @@
+"""Lifecycle semantics: fingerprint memoization, crash-resume, metrics.
+
+Ports the reference's cache/resume test strategy (SURVEY.md §5 items 2-3;
+/root/reference/tests/unittests/test_caching.py:12-96, conftest.py:31-35
+cached_working_dir resume fixtures) onto the staged-commit runner."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from curator_spark.datagen import pages_path_for
+from curator_spark.plans import runner as R
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    return pages_path_for(
+        "/root/testdata/sf0.001", cache_root=str(tmp_path_factory.mktemp("pg"))
+    )
+
+
+def _config(pages_path, out_root, **kw):
+    return R.RunConfig(input_path=pages_path, output_root=str(out_root), num_chunks=4, **kw)
+
+
+def test_run_resume_and_cache(spark, pages_path, tmp_path, golden):
+    cfg = _config(pages_path, tmp_path / "out")
+
+    # simulate a crash after 2 chunks: pre-commit chunks 0,1 then run
+    res1 = R.run_quality_filter(spark, cfg)
+    assert not res1.cache_hit and res1.chunks_run == 4
+
+    # rerun -> whole-run cache hit, no job
+    res2 = R.run_quality_filter(spark, cfg)
+    assert res2.cache_hit
+
+    out = R.load_output(spark, res1).toPandas()
+    assert len(out) == len(golden)
+    assert out["url"].is_unique  # no duplicates across chunk commits
+
+    # output matches golden labels regardless of chunking
+    merged = out.merge(
+        golden[["url", "keep", "scrubbed_text"]], on="url", suffixes=("", "_g")
+    )
+    assert (merged["keep"] == merged["keep_g"]).all()
+    assert merged["scrubbed_text"].equals(merged["scrubbed_text_g"])
+
+    # remainder anti-join is empty once complete
+    pages = spark.read.parquet(pages_path)
+    assert R.resume_remainder(spark, pages, res1).count() == 0
+
+
+def test_crash_resume_skips_committed(spark, pages_path, tmp_path, golden):
+    cfg = _config(pages_path, tmp_path / "out2")
+    run_id = R.run_fingerprint(cfg)
+    run_dir = os.path.join(cfg.output_root, "runs", run_id)
+
+    # run only chunks 0-1 by faking a crash: run fully, then delete 2,3 + manifest
+    res = R.run_quality_filter(spark, cfg)
+    os.remove(os.path.join(run_dir, "manifest.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(run_dir, "chunk=2"))
+    shutil.rmtree(os.path.join(run_dir, "chunk=3"))
+
+    res2 = R.run_quality_filter(spark, cfg)
+    assert not res2.cache_hit
+    assert res2.chunks_skipped == 2 and res2.chunks_run == 2
+
+    out = R.load_output(spark, res2).toPandas()
+    assert len(out) == len(golden) and out["url"].is_unique
+
+
+def test_fingerprint_sensitivity(pages_path, tmp_path):
+    a = R.run_fingerprint(_config(pages_path, tmp_path, salt="s1"))
+    b = R.run_fingerprint(_config(pages_path, tmp_path, salt="s2"))
+    c = R.run_fingerprint(_config(pages_path, tmp_path, salt="s1"))
+    assert a != b and a == c
+
+
+def test_metrics_and_catalog(spark, pages_path, tmp_path, golden):
+    cfg = _config(pages_path, tmp_path / "out3")
+    R.run_quality_filter(spark, cfg)
+    metrics = R.read_table(spark, cfg.output_root, "metrics").toPandas()
+    assert metrics["docs_seen"].sum() == len(golden)
+    assert metrics["docs_kept"].sum() == int(golden["keep"].sum())
+    # per-rule drop counters match the oracle
+    fired_tox = sum(1 for lst in golden["drop_rules"] if "toxicity" in lst)
+    assert metrics["drops_toxicity"].sum() == fired_tox
+    cat = R.read_table(spark, cfg.output_root, "runs_catalog").toPandas()
+    assert set(cat["status"]) == {"STARTED", "COMPLETED"}
