@@ -1,0 +1,303 @@
+"""Deduplication operators — the scale-critical piece of a training-data
+pipeline (beyond the reference's per-run memoization, SURVEY.md §2.7 O4).
+
+All variants are expressed as declarative DataFrame plans so Catalyst plans
+the shuffles; the only "model" is hashing, done with ``md5`` so the DuckDB
+oracle computes byte-identical values (xxhash64 exists in both engines but
+with different seeds/variants — md5 is the cross-engine-stable choice; at
+production scale swap HASH_FN for xxhash64 to cut CPU).
+
+Scale notes (10^12 docs):
+- exact dedup = one hash-partitioned aggregation on the digest — the digest
+  (16B) shuffles, never the text; Spark's partial (map-side) agg means each
+  executor emits one row per distinct digest per partition.
+- MinHash-LSH = per-row signature (narrow) -> explode to (band, doc) ->
+  ONE shuffle on band-hash -> within-bucket pairs. Bucket sizes are the
+  skew risk: boilerplate-identical pages all land in one bucket, so
+  candidate pairs are capped per bucket upstream by distinct-digest dedup.
+- embedding near-dup brute-force is O(n^2) — kept for oracle-checkable
+  correctness at test SF; the LSH variant in similarity.py is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by minhash / jaccard): w-word shingles joined by a space
+# over whitespace tokens of the trimmed text.
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, w: int = 3) -> Column:
+    """array of w-word shingles; [] when fewer than w words."""
+    t = F.trim(text)
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    n = F.size(toks)
+    return F.when(n < w, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1. Exact dedup by content hash.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fp_md5, group_size, min_doc_id).
+
+    The keep-one policy is "smallest key wins" (deterministic under
+    reshuffle; order-insensitive)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp_md5"), F.col(key))
+        .groupBy("fp_md5")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.min(key).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Survivors of exact dedup: one row per distinct text (min-key winner).
+
+    Plan: hash-agg on digest (partial+final), then a broadcast-friendly
+    semi-join back for the full row when needed — here we keep keys only."""
+    groups = exact_dedup_groups(df, text_col, key)
+    return groups.select(F.col("keep_id").alias(key), "fp_md5", "group_size")
+
+
+# ---------------------------------------------------------------------------
+# D2. MinHash + LSH candidate pairs.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int, w: int = 3) -> Column:
+    """array<string> of ``num_hashes`` min-hashes: min(md5(i||'|'||shingle)).
+
+    Salted md5 per hash index — a valid MinHash family, chosen because the
+    identical expression runs in DuckDB (cross-engine oracle)."""
+    sh = word_shingles(text, w)
+
+    def salted(prefix: str):
+        # NB: a 1-arg lambda on purpose — a 2-arg lambda would be bound by
+        # F.transform as (element, index) and shadow the captured salt.
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, salted(f"{i}|"))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    w: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a<b) sharing >=1 LSH band.
+
+    Physical plan: narrow signature projection -> explode to ``bands`` rows
+    per doc -> ONE shuffle (groupable join key = band digest) -> self-join
+    within bucket -> distinct pairs. At 10^12 docs the band digest is the
+    shuffle key; hot buckets (boilerplate) should be exact-deduped first.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, w)
+    with_sig = df.select(F.col(key).alias("id"), sig.alias("sig")).filter(
+        F.size("sig") > 0
+    )
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(str(b)),
+                            *[F.col("sig")[b * rows_per_band + j] for j in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).dropDuplicates(["id", "band"])
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3. n-gram Jaccard similarity on candidate pairs.
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    key: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-w-shingles for each candidate pair.
+
+    ``pairs`` defaults to all (a<b) pairs — O(n^2), test-scale only; pass the
+    LSH candidates at scale so the verify join is |candidates|, not n^2.
+    Output: (id_a, id_b, inter, union_sz, jaccard) with exact integer
+    inter/union so the double division is bit-stable cross-engine.
+    """
+    sh = df.select(
+        F.col(key).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), w)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    na = sh.select("id", F.size("sh").alias("n"))
+    if pairs is None:
+        inter = (
+            ex.alias("x")
+            .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+    else:
+        cand = pairs.select(F.col("id_a"), F.col("id_b"))
+        inter = (
+            cand.join(ex.alias("x"), F.col("id_a") == F.col("x.id"))
+            .join(
+                ex.alias("y"),
+                (F.col("id_b") == F.col("y.id")) & (F.col("x.s") == F.col("y.s")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+    out = (
+        inter.join(na.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(na.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long").alias("union_sz"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D4. SimHash (64-bit) — native bit arithmetic over word hashes.
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash of the lowercased word multiset via xxhash64 word
+    hashes: bit b of the output = majority vote of bit b across word hashes.
+
+    Pure native columns: explode words -> per-bit vote aggregation (sum of
+    +-1) -> recombine. One shuffle on the doc key. xxhash64 (not md5): this
+    operator is engine-internal (no cross-engine oracle needed — verified by
+    a python twin in tests), so the cheap JVM hash wins.
+    """
+    w = F.explode(
+        F.transform(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")),
+            F.lower,
+        )
+    ).alias("w")
+    exploded = df.select(F.col(key).alias("id"), w)
+    h = F.xxhash64(F.col("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
+            F.col(f"v{b}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return voted.select(F.col("id").alias(key), sim.alias("simhash"))
+
+
+def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance on simhash, blocked on 4 16-bit
+    chunks (a pair within hamming<=3 must share >=1 exact chunk — pigeonhole)
+    so the join is bucket-local, never a cross join."""
+    chunks = F.array(
+        *[
+            F.concat(F.lit(f"{c}:"), (F.shiftrightunsigned(F.col("simhash"), c * 16)).bitwiseAND(F.lit(0xFFFF)).cast("string"))
+            for c in range(4)
+        ]
+    )
+    blocked = sim_df.select(F.col(key).alias("id"), F.col("simhash"), F.explode(chunks).alias("blk"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pop = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            pop.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5. Embedding-cosine near-duplicates (brute force; LSH path in similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, computed in
+    double with a sequential fold (deterministic, matches the single-node
+    oracle's accumulation order)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, key: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """All (a<b) pairs with cosine >= threshold. O(n^2) — correctness oracle
+    scale only; the production path buckets by LSH sign-sketch first
+    (similarity.lsh_ann) so each bucket's pair count stays bounded."""
+    a = emb.select(F.col(key).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(key).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers, as a scale-aware pair:
+
+- ``brute_force_topk``: exact cosine top-k, broadcast queries × corpus scan.
+  O(|corpus|·|queries|) but embarrassingly parallel and shuffle-light (one
+  per-corpus-partition partial top-k, then a tiny final top-k). This is the
+  verifiable baseline (DuckDB oracle via list_cosine_similarity).
+- ``lsh_ann_topk``: random-hyperplane sign-LSH bucketing; queries only join
+  their own bucket, so work scales with bucket size, not corpus size. The
+  hyperplanes are a deterministic function of (dim, num_planes, seed) — the
+  same "model broadcast once" pattern as the pipeline's scoring UDFs, but
+  realized as a literal Column expression (JVM-side, no Python).
+
+At 10^12-vector scale brute force dies; the LSH variant's plan is:
+narrow projection (bucket id per vector) -> shuffle on bucket -> per-bucket
+top-k. IVF would replace the hash with a learned centroid argmin — same
+plan shape, pluggable bucket function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def _rank_window(part_col: str):
+    # ORDER BY cos DESC with deterministic id tie-break
+    return Window.partitionBy(part_col).orderBy(F.col("cos").desc(), F.col("id").asc())
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Physical shape: broadcast(queries) × corpus scan -> window top-k. The
+    per-partition rank prune (rows > k per partition never shuffle) comes
+    free from Spark's WindowGroupLimit pushdown on rank filters.
+    Self-matches (same id) are excluded.
+    """
+    q = F.broadcast(queries.select(F.col(key).alias("qid"), F.col(vec_col).alias("qv")))
+    c = corpus.select(F.col(key).alias("id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(_rank_window("qid")))
+    return ranked.filter(F.col("rank") <= k).select("qid", "id", "cos", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: str = "lsh-v1") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: unit-free gaussian-ish
+    components derived from sha256(seed|plane|i) — a pure function, identical
+    on every executor/rerun (no RNG state, SURVEY.md §7 determinism)."""
+    planes = []
+    for p in range(num_planes):
+        comps = []
+        for i in range(dim):
+            h = hashlib.sha256(f"{seed}|{p}|{i}".encode()).digest()
+            # map 8 bytes -> [-0.5, 0.5)
+            u = struct.unpack(">Q", h[:8])[0] / 2**64
+            comps.append(u - 0.5)
+        planes.append(comps)
+    return planes
+
+
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: str = "lsh-v1") -> Column:
+    """Bucket id = sign bits of <vec, plane_p> packed into a long."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 6,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "lsh-v1",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Equi-join on bucket replaces the cross join — the shuffle key is the
+    bucket id, so cost scales with Σ|bucket_q|·|bucket_c| per bucket. Recall
+    is tunable via num_planes (fewer planes -> bigger buckets -> higher
+    recall); multi-probe = union over flipped-bit buckets if needed.
+    """
+    b = lambda df, a, vv: df.select(  # noqa: E731
+        F.col(key).alias(a), F.col(vec_col).alias(vv), lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket")
+    )
+    c = b(corpus, "id", "cv")
+    q = b(queries, "qid", "qv")
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(_rank_window("qid")))
+    return ranked.filter(F.col("rank") <= k).select("qid", "id", "cos", "rank")

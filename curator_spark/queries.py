@@ -1,0 +1,780 @@
+"""Named query registry: every operator as (spark_fn, duckdb_oracle_sql).
+
+This is the correctness surface consumed by ``__spark_entry__``: each entry
+is one operator/query from SURVEY.md §2 (or a training-data-pipeline
+extension: dedup / similarity / text analysis), with an exact ANSI-SQL twin
+runnable by DuckDB on the same parquet tables. Entries whose semantics are
+not SQL-expressible (pandas-UDF model stages, LSH with engine-internal
+hashing) carry ``sql=None`` -> the driver records a rows-only check and
+pytest golden fixtures carry the real verification.
+
+Cross-engine parity rules used throughout (verified empirically):
+
+- hashes are md5 (same hex in both engines); xxhash64 is engine-internal.
+- money/measure sums go through exact DECIMAL then cast to double -> the
+  result is bit-identical regardless of shuffle/aggregation order.
+- ratios are double divisions of identical integer operands -> bit-identical.
+- cosine similarity: Spark's sequential double fold == DuckDB's
+  list_cosine_similarity(a::DOUBLE[], b::DOUBLE[]) bit-for-bit.
+- regex patterns restricted to the Java-regex ∩ RE2 common subset (no
+  lookaround); DuckDB regexp_replace needs the 'g' flag to match Spark.
+- no arrays/timestamps in oracle-checked output schemas (strings/longs/
+  doubles/bools/ints only); lists are rendered with a ',' join.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import rules
+from .operators import dedup, similarity, textanalysis
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# SQL fragment shared by the text oracles: whitespace tokens of trimmed text.
+_SQL_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _sql_lex_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(rules.LANG_LEXICONS[lang])) + "]"
+
+
+# ===========================================================================
+# Text analysis over `documents`
+# ===========================================================================
+
+_BPE = textanalysis.BPE_TOKEN_PATTERN
+
+
+@_register(
+    "token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(w) AS n_words,
+           len(regexp_extract_all(text, '{_BPE}')) AS n_bpe_tokens,
+           CASE WHEN len(regexp_extract_all(text, '{_BPE}')) > 0
+                THEN length(text) / len(regexp_extract_all(text, '{_BPE}'))
+                ELSE 0.0 END AS chars_per_token
+    FROM t
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    return textanalysis.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _lang_scores_sql() -> str:
+    langs = sorted(rules.LANG_LEXICONS)
+    hits = ",\n".join(
+        f"len(list_filter(w, x -> list_contains({_sql_lex_list(lg)}, lower(x)))) AS hits_{lg}"
+        for lg in langs
+    )
+    greatest = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    whens = " ".join(f"WHEN hits_{lg} = top THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    h AS (SELECT doc_id, {hits} FROM t),
+    g AS (SELECT *, {greatest} AS top FROM h)
+    SELECT doc_id, {', '.join('hits_' + lg for lg in langs)},
+           CASE WHEN top = 0 THEN 'und' {whens} END AS lang_pred
+    FROM g
+    """
+
+
+@_register("lang_scores", _lang_scores_sql())
+def q_lang_scores(spark, sf_dir):
+    return textanalysis.lang_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+        length(text) AS n_chars, len(w) AS n_words,
+        len(list_filter(w, x -> list_contains({_sql_lex_list('en')}, lower(x)))) AS stop_hits,
+        length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_symbols,
+        len(list_distinct(list_transform(w, x -> lower(x)))) AS n_distinct
+      FROM t),
+    f AS (
+      SELECT doc_id,
+        (n_chars < {rules.MIN_CHARS} OR n_chars > {rules.MAX_CHARS}) AS f_len,
+        (n_words > 0 AND n_symbols / n_words > {rules.MAX_SYMBOL_RATIO}) AS f_symbol,
+        (n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS f_stopword,
+        (n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS f_dup_word
+      FROM s)
+    SELECT doc_id, f_len, f_symbol, f_stopword, f_dup_word,
+      CAST(least(greatest(5 - (CAST(f_len AS INTEGER) + CAST(f_symbol AS INTEGER)
+        + CAST(f_stopword AS INTEGER) + CAST(f_dup_word AS INTEGER)), 0), 5) AS INTEGER) AS score
+    FROM f
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    return textanalysis.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "histogram_scores",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+        length(text) AS n_chars, len(w) AS n_words,
+        len(list_filter(w, x -> list_contains({_sql_lex_list('en')}, lower(x)))) AS stop_hits,
+        length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_symbols,
+        len(list_distinct(list_transform(w, x -> lower(x)))) AS n_distinct
+      FROM t),
+    f AS (
+      SELECT doc_id,
+        CAST((n_chars < {rules.MIN_CHARS} OR n_chars > {rules.MAX_CHARS}) AS INTEGER)
+        + CAST((n_words > 0 AND n_symbols / n_words > {rules.MAX_SYMBOL_RATIO}) AS INTEGER)
+        + CAST((n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS INTEGER)
+        + CAST((n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS INTEGER)
+        AS fired
+      FROM s)
+    SELECT CAST(least(greatest(5 - fired, 0), 5) AS INTEGER) AS score, COUNT(*) AS n
+    FROM f GROUP BY 1
+    """,
+)
+def q_histogram_scores(spark, sf_dir):
+    """A6 score histogram (predict.py:10-22 analog)."""
+    return (
+        textanalysis.quality_score(_t(spark, sf_dir, "documents"))
+        .groupBy("score")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+        CASE WHEN length(text) = 0 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, greatest(length(text) - 32, 1) + 1, 32),
+                                 s -> md5(substr(text, CAST(s AS INTEGER), 64))) END AS wins
+      FROM documents)
+    SELECT doc_id, md5(text) AS fp_md5, list_min(wins) AS fp_window_min,
+           len(wins) AS fp_windows
+    FROM t
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    return textanalysis.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "char_census",
+    """
+    SELECT doc_id,
+      length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS english_count,
+      length(text) - length(regexp_replace(text, '[؀-ۿݐ-ݿࢠ-ࣿ]', '', 'g')) AS arabic_count,
+      length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_count,
+      length(text) - length(regexp_replace(text, '[ \t\n\r\f\x0B]', '', 'g')) AS whitespace_count,
+      length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_symbol_count
+    FROM documents
+    """,
+)
+def q_char_census(spark, sf_dir):
+    """P8 char-class census (examples/custom/utils.py:4-36 parity)."""
+    from .operators.heuristics import census_stage
+
+    df = census_stage(_t(spark, sf_dir, "documents"), text_col="text")
+    return df.select(
+        "doc_id",
+        "english_count",
+        "arabic_count",
+        "digit_count",
+        "whitespace_count",
+        "punct_symbol_count",
+    )
+
+
+@_register(
+    "heuristic_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, text, w,
+        list_transform(w, x -> lower(x)) AS lw,
+        list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+      FROM t)
+    SELECT doc_id,
+      length(text) AS n_chars,
+      len(w) AS n_words,
+      CASE WHEN len(w) > 0
+           THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_word_len,
+      CASE WHEN len(w) > 0
+           THEN len(list_filter(lw, x -> list_contains({_sql_lex_list('en')}, x))) / len(w)
+           ELSE 0.0 END AS stop_density,
+      CASE WHEN len(w) > 0
+           THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) / len(w)
+           ELSE 0.0 END AS symbol_ratio,
+      CASE WHEN len(lines) > 1
+           THEN 1.0 - len(list_distinct(lines)) / len(lines)
+           ELSE 0.0 END AS repeated_line_frac,
+      CASE WHEN len(w) > 0
+           THEN 1.0 - len(list_distinct(lw)) / len(w)
+           ELSE 0.0 END AS dup_word_frac
+    FROM s
+    """,
+)
+def q_heuristic_stats(spark, sf_dir):
+    """The Gopher/C4 heuristic statistics as native codegen columns."""
+    from .operators.heuristics import heuristics_stage
+
+    df = heuristics_stage(_t(spark, sf_dir, "documents"), text_col="text")
+    return df.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "mean_word_len",
+        "stop_density",
+        "symbol_ratio",
+        "repeated_line_frac",
+        "dup_word_frac",
+    )
+
+
+@_register(
+    "pii_counts",
+    r"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+      len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS pii_ip_like,
+      len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS pii_ssn_like
+    FROM documents
+    """,
+)
+def q_pii_counts(spark, sf_dir):
+    """Scrub-rule hit counting with native regexp_count (lookaround-free
+    pattern subset; the byte-exact scrub itself runs in the pandas UDF)."""
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+        .cast("long")
+        .alias("pii_email"),
+        F.regexp_count(t, F.lit(r"([0-9]{1,3}\.){3}[0-9]{1,3}")).cast("long").alias("pii_ip_like"),
+        F.regexp_count(t, F.lit(r"[0-9]{3}-[0-9]{2}-[0-9]{4}")).cast("long").alias("pii_ssn_like"),
+    )
+
+
+@_register(
+    "chunking",
+    """
+    SELECT doc_id, i AS chunk_idx,
+           substr(text, CAST(i * 80 + 1 AS INTEGER), 80) AS chunk
+    FROM documents,
+         unnest(range(0, CAST(ceil(length(text) / 80.0) AS BIGINT))) AS t(i)
+    """,
+)
+def q_chunking(spark, sf_dir):
+    """P10 chunking: text -> fixed-size chunk rows (raft.py:181-186 analog)."""
+    df = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    idxs = F.when(
+        n > 0, F.sequence(F.lit(0), F.ceil(n / F.lit(80.0)).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select("doc_id", "text", F.explode(idxs).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.substring(F.col("text"), F.col("chunk_idx") * 80 + 1, F.lit(80)).alias("chunk"),
+        )
+    )
+
+
+# ===========================================================================
+# Dedup family
+# ===========================================================================
+
+
+@_register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS fp_md5, COUNT(*) AS group_size, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    g = dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+    return g.select("fp_md5", "group_size", "keep_id")
+
+
+_MINHASH_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) END AS s
+      FROM toks),
+    sig AS (
+      SELECT doc_id,
+        list_transform(range(0, 8), j -> list_min(list_transform(s, x -> md5(j || '|' || x)))) AS sg
+      FROM sh WHERE len(s) > 0),
+    banded AS (
+      SELECT DISTINCT doc_id, band FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 4),
+                      b -> md5(b || ',' || sg[CAST(b * 2 + 1 AS INTEGER)] || ',' || sg[CAST(b * 2 + 2 AS INTEGER)]))) AS band
+        FROM sig))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+    """
+
+
+@_register("minhash_lsh_pairs", _MINHASH_SQL)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, w=3
+    )
+
+
+@_register(
+    "ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) END) AS s
+      FROM toks),
+    nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS sng FROM nz),
+    na AS (SELECT doc_id, len(s) AS n FROM nz),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex x JOIN ex y ON x.sng = y.sng AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b, i.inter,
+           (a.n + b.n - i.inter) AS union_sz,
+           i.inter / (a.n + b.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN na a ON i.id_a = a.doc_id
+    JOIN na b ON i.id_b = b.doc_id
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), w=3)
+
+
+@_register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@_register("simhash_docs")  # engine-internal xxhash64 -> python twin in pytest
+def q_simhash_docs(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Similarity search over `embeddings`
+# ===========================================================================
+
+
+@_register(
+    "similarity_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, c.vec_id AS id,
+             list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM embeddings c, q WHERE c.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS INTEGER) AS rnk
+      FROM scored)
+    SELECT qid, id, cos, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@_register("lsh_ann_topk")  # approximate by design -> rows-only driver check
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    out = similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), dim=dim, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+# ===========================================================================
+# Relational lifecycle analogs over the TPC-H-ish tables
+# ===========================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: partial+final hash agg; exact DECIMAL accumulation ->
+    bit-stable doubles under any shuffle order."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(ext).cast("double").alias("sum_base_price"),
+        F.sum(ext * disc).cast("double").alias("sum_disc_price"),
+        F.sum(ext * disc * tax).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_q3_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        F.broadcast(c)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "regional_revenue",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_regional_revenue(spark, sf_dir):
+    """J1 + broadcast dims: the fact table never shuffles for the dim joins
+    (explicit broadcast hints), only for the final partial+final agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@_register(
+    "anti_join_resume",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+)
+def q_anti_join_resume(spark, sf_dir):
+    """J2/F1: the resume anti-join — input keys minus completed keys
+    (base_online_request_processor.py:332-336,354 semantics). The completed
+    set is the orders placed since 2000 (so both sides are non-empty)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@_register(
+    "semi_join_completed",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_acctbal > 1000 AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_join_completed(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_acctbal")
+
+
+@_register(
+    "groupby_collect",
+    """
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_groupby_collect(spark, sf_dir):
+    """A1 groupby-collect (simplestrat collate analog): sorted list rendered
+    as a string so the oracle schema is scalar-only."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")),
+        ).alias("orderkeys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_register(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def q_window_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@_register(
+    "orders_by_month",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mon,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_orders_by_month(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+@_register(
+    "events_type_month",
+    """
+    SELECT event_type,
+           CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mon,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_events_type_month(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.year("ts").cast("int").alias("yr"),
+        F.month("ts").cast("int").alias("mon"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+    )
+
+
+@_register(
+    "deterministic_sample",
+    """
+    SELECT doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 20
+    """,
+)
+def q_deterministic_sample(spark, sf_dir):
+    """O5: shuffle(seed).take(N) re-expressed as a content-hash order — the
+    reshuffle-stable form of download_data.py:21-22."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id")
+    )
+
+
+@_register(
+    "hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """O6: deterministic 75/25 hash split (reshuffle-stable analog of the
+    seed-42 stratified split, train_classifier.py:61-63)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(bucket.isin(*list("0123456789ab")), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@_register(
+    "scalar_funcs",
+    """
+    SELECT doc_id,
+           upper(source) AS src_upper,
+           substr(text, 1, 20) AS head20,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           replace(substr(text, 1, 40), ' ', '_') AS head_snake,
+           length(trim(text)) AS trimmed_len,
+           CAST(round(n_chars / 4.0, 2) AS DOUBLE) AS est_tokens
+    FROM documents
+    """,
+)
+def q_scalar_funcs(spark, sf_dir):
+    """§2.8 scalar-function surface (P7 post-processing analog): slice,
+    regex extract, replace, trim, case, arithmetic incl. the len/4 token
+    estimate (openai_online_request_processor.py:211)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("src_upper"),
+        F.substring("text", 1, 20).alias("head20"),
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.substring("text", 1, 40), r" ", "_").alias("head_snake"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("trimmed_len"),
+        F.round(F.col("n_chars") / F.lit(4.0), 2).alias("est_tokens"),
+    )
+
+
+# ===========================================================================
+# Model stages (pandas UDF path) — rows-only driver checks; pytest goldens
+# carry exact verification against the single-node oracle.
+# ===========================================================================
+
+
+@_register("langid_udf")
+def q_langid_udf(spark, sf_dir):
+    from .operators.udf_stages import langid_stage
+
+    d = _t(spark, sf_dir, "documents")
+    return langid_stage(d, text_col="text").select("doc_id", "lang_pred", "lang_conf")
+
+
+@_register("perplexity_udf")
+def q_perplexity_udf(spark, sf_dir):
+    from .operators.udf_stages import perplexity_stage
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_stage(d, text_col="text").select("doc_id", "perplexity")
+
+
+@_register("pipeline_verdicts")
+def q_pipeline_verdicts(spark, sf_dir):
+    """The flagship end-to-end quality filter over the derived pages table
+    (rows-only here; byte-exact golden verification lives in pytest)."""
+    from .plans.pipeline import quality_filter
+    from .sources.tables import load_pages
+
+    pages = load_pages(spark, sf_dir)
+    v = quality_filter(pages)
+    return v.select(
+        "url",
+        "lang_pred",
+        "lang_conf",
+        "perplexity",
+        "score",
+        "keep",
+        F.concat_ws(",", "drop_rules").alias("drop_rules_csv"),
+    )
