@@ -121,13 +121,23 @@ def build_pages_pdf(sf_dir: str, replication: int = 1) -> pd.DataFrame:
     return pd.DataFrame.from_records(recs)
 
 
+ROWS_PER_FILE = 10_000
+
+
 def write_pages(sf_dir: str, out_path: str, replication: int = 1) -> str:
-    """Materialize the pages table as parquet (row-group per ~8k rows so the
-    Spark scan parallelizes even on a single file)."""
+    """Materialize the pages table as a multi-file parquet dataset
+    (~10k rows/file). One big file would make the Spark scan a single task
+    (files only split at maxPartitionBytes granularity), serializing the
+    input decode; many files model a real distributed table layout and let
+    the scan parallelize at any core count."""
     pdf = build_pages_pdf(sf_dir, replication)
     table = pa.Table.from_pandas(pdf, schema=PAGES_SCHEMA, preserve_index=False)
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    pq.write_table(table, out_path, row_group_size=8192)
+    os.makedirs(out_path, exist_ok=True)
+    n = table.num_rows
+    n_files = max(1, (n + ROWS_PER_FILE - 1) // ROWS_PER_FILE)
+    for i in range(n_files):
+        chunk = table.slice(i * ROWS_PER_FILE, ROWS_PER_FILE)
+        pq.write_table(chunk, os.path.join(out_path, f"part-{i:05d}.parquet"), row_group_size=4096)
     return out_path
 
 
@@ -137,7 +147,7 @@ def pages_path_for(sf_dir: str, cache_root: str | None = None, replication: int 
     /root/reference/src/bespokelabs/curator/llm/llm.py:140-165)."""
     cache_root = cache_root or os.path.join(os.path.dirname(os.path.dirname(__file__)), ".data")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(cache_root, f"pages_{tag}_x{replication}.parquet")
-    if not os.path.exists(out):
+    out = os.path.join(cache_root, f"pages_{tag}_x{replication}.pq")
+    if not os.path.isdir(out):
         write_pages(sf_dir, out, replication)
     return out

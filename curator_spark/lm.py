@@ -45,6 +45,12 @@ _V = len(_ALPHABET) + 1  # +1 = OOV bucket
 _OOV = _V - 1
 _ADD_K = 0.1
 
+# Vectorized encoder table: codepoint -> symbol id (ASCII range; any
+# codepoint >= 128 is OOV, same as the dict-get fallback it replaces).
+_ENCODE_LUT = np.full(128, _OOV, dtype=np.int64)
+for _c, _i in _CHAR_TO_ID.items():
+    _ENCODE_LUT[ord(_c)] = _i
+
 
 class CharTrigramLM:
     """Add-k smoothed char trigram LM over a fixed 40-symbol alphabet."""
@@ -58,9 +64,11 @@ class CharTrigramLM:
 
     @staticmethod
     def _encode(text: str) -> np.ndarray:
-        return np.fromiter(
-            (_CHAR_TO_ID.get(c, _OOV) for c in text), dtype=np.int64, count=len(text)
-        )
+        # utf-32 round-trip gives the exact codepoint array (one element per
+        # char, matching the per-char dict-get spec bit-for-bit, unlike a
+        # utf-8 view which would split non-ASCII chars into several bytes).
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        return np.where(codes < 128, _ENCODE_LUT[np.minimum(codes, 127)], _OOV)
 
     def perplexity(self, text: str) -> float:
         """exp(-mean log p(c_i | c_{i-2} c_{i-1})) over the lowercased text.

@@ -35,19 +35,37 @@ def words_col(text: Column) -> Column:
     )
 
 
+# Token-exact stopword counter as ONE regex scan: a stopword counts only as
+# a full whitespace-delimited token (same as membership of the split token
+# in the lexicon), which the zero-width boundary assertions encode. Java
+# regex allows alternation in (bounded) lookbehind.
+_STOPWORD_COUNT_RE = (
+    rf"(?<=^|[{_WS_CLASS}])(?:" + "|".join(_EN_STOPWORDS) + rf")(?=$|[{_WS_CLASS}])"
+)
+
+
 def heuristics_stage(df: DataFrame, text_col: str = "text_t") -> DataFrame:
     """Adds n_chars, n_words, mean_word_len, stop_density, symbol_ratio,
-    repeated_line_frac, dup_word_frac — all whole-stage-codegen'd."""
+    repeated_line_frac, dup_word_frac.
+
+    Perf note: Spark evaluates higher-order functions (aggregate/filter/
+    transform) interpreted, re-evaluating duplicated subtrees, so the heavy
+    per-token statistics are expressed as single regex scans instead —
+    char_sum as a whitespace-strip length diff, stop_hits as one
+    boundary-anchored regexp_count — which stay inside whole-stage codegen.
+    Only dup_word_frac/repeated_line_frac keep (cheap, single) array ops.
+    """
     text = F.col(text_col)
-    df = df.withColumn("_words", words_col(text))
-    df = df.withColumn("_lwords", F.transform(F.col("_words"), F.lower))
-    n_words = F.size(F.col("_words"))
-    char_sum = F.aggregate(
-        F.col("_words"), F.lit(0), lambda acc, w: acc + F.length(w)
+    trimmed = F.trim(text)
+    # lowercase once, split once: the lowered-token array used for distinct
+    lwords = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(trimmed), rf"[{_WS_CLASS}]+")
     )
-    stop_hits = F.size(
-        F.filter(F.col("_lwords"), lambda w: w.isin(*_EN_STOPWORDS))
-    )
+    df = df.withColumn("_lwords", lwords)
+    n_words = F.size(F.col("_lwords"))
+    # sum(len(token)) == len(trimmed) - (# whitespace chars inside trimmed)
+    char_sum = F.length(F.regexp_replace(trimmed, rf"[{_WS_CLASS}]", ""))
+    stop_hits = F.regexp_count(F.lower(trimmed), F.lit(_STOPWORD_COUNT_RE))
     n_symbols = F.length(text) - F.length(F.regexp_replace(text, _SYMBOL_CLASS, ""))
     lines = F.filter(F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0)
     n_lines = F.size(lines)
@@ -82,7 +100,7 @@ def heuristics_stage(df: DataFrame, text_col: str = "text_t") -> DataFrame:
                 - F.size(F.array_distinct(F.col("_lwords"))).cast("double") / n_words,
             ).otherwise(F.lit(0.0)),
         )
-        .drop("_words", "_lwords")
+        .drop("_lwords")
     )
 
 

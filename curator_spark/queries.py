@@ -406,6 +406,16 @@ def q_simhash_docs(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+@_register("minhash_jaccard_dedup")  # composition == production scale path
+def q_minhash_jaccard_dedup(spark, sf_dir):
+    """The near-dup scale path: LSH candidate generation, then exact Jaccard
+    verification restricted to candidates (|candidates| joins, never n^2).
+    Rows-only here; the two component operators are oracle-checked above."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, w=3)
+    return dedup.ngram_jaccard_pairs(docs, pairs=cand, w=3, threshold=0.5)
+
+
 # ===========================================================================
 # Similarity search over `embeddings`
 # ===========================================================================

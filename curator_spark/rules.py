@@ -123,6 +123,16 @@ LANG_LEXICONS: dict[str, frozenset[str]] = {
 _ARABIC_RE = _CENSUS_PATTERNS["arabic_count"]
 _CJK_RE = re.compile(r"[一-鿿]")
 
+# Inverted lexicon index: token -> per-language hit vector. One dict lookup
+# per token instead of len(LANG_LEXICONS) set probes (hot path: this runs
+# inside the fused pandas UDF for every document).
+_LANGS: tuple[str, ...] = tuple(sorted(LANG_LEXICONS))
+_TOKEN_LANGS: dict[str, tuple[int, ...]] = {}
+for _li, _lang in enumerate(_LANGS):
+    for _tok in LANG_LEXICONS[_lang]:
+        vec = _TOKEN_LANGS.setdefault(_tok, tuple(0 for _ in _LANGS))
+        _TOKEN_LANGS[_tok] = tuple(v + (1 if i == _li else 0) for i, v in enumerate(vec))
+
 
 def langid(text: str) -> tuple[str, float]:
     """Predict (lang, confidence). Script check first (ar/zh), then lexicon
@@ -137,19 +147,21 @@ def langid(text: str) -> tuple[str, float]:
         return "ar", min(1.0, n_ar / n)
     if n_zh * 2 > n:
         return "zh", min(1.0, n_zh / n)
-    toks = [t.lower() for t in tokens(text)]
+    toks = tokens(text.lower())  # lower() once; whitespace is case-invariant
     if not toks:
         return "und", 0.0
-    scores = {lang: 0 for lang in LANG_LEXICONS}
+    scores = [0] * len(_LANGS)
+    lookup = _TOKEN_LANGS.get
     for t in toks:
-        for lang, lex in LANG_LEXICONS.items():
-            if t in lex:
-                scores[lang] += 1
-    # deterministic argmax: score desc, then lang asc
-    best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-    if best[1] == 0:
+        vec = lookup(t)
+        if vec is not None:
+            for i, v in enumerate(vec):
+                scores[i] += v
+    # deterministic argmax: score desc, then lang asc (_LANGS is sorted)
+    best_i = max(range(len(_LANGS)), key=lambda i: (scores[i], -i))
+    if scores[best_i] == 0:
         return "und", 0.0
-    return best[0], best[1] / len(toks)
+    return _LANGS[best_i], scores[best_i] / len(toks)
 
 
 # ---------------------------------------------------------------------------
@@ -193,8 +205,9 @@ _TOX_RE = re.compile(
 )
 
 
-def scrub_text(text: str) -> tuple[str, dict[str, int]]:
-    """Mask PII + toxicity. Returns (scrubbed_text, hits-per-rule)."""
+def scrub_text_sequential(text: str) -> tuple[str, dict[str, int]]:
+    """Reference implementation: one regex pass per rule (the semantic spec;
+    tests assert the guarded fast path below agrees exactly)."""
     counts: dict[str, int] = {}
     out = text
     for name, pat, repl in SCRUB_PATTERNS:
@@ -202,6 +215,36 @@ def scrub_text(text: str) -> tuple[str, dict[str, int]]:
         counts[name] = n
     out, n = _TOX_RE.subn("<TOX>", out)
     counts["toxicity"] = n
+    return out, counts
+
+
+_DIGIT_RE = re.compile(r"[0-9]")
+
+
+def scrub_text(text: str) -> tuple[str, dict[str, int]]:
+    """Mask PII + toxicity. Returns (scrubbed_text, hits-per-rule).
+
+    Hot path (runs inside the fused pandas UDF for every document): each
+    regex pass is gated by a cheap necessary-condition check ('@' for email,
+    a digit for phone/ip/ssn, case-folded substring for toxicity), so clean
+    pages — the overwhelming majority at web scale — cost a few C-level
+    scans instead of six full regex passes. The guards only skip passes
+    that provably cannot match, so output is byte-identical to
+    ``scrub_text_sequential``.
+    """
+    out = text
+    counts = {"email": 0, "phone": 0, "ip": 0, "ssn": 0, "toxicity": 0}
+    if "@" in out:
+        out, counts["email"] = SCRUB_PATTERNS[0][1].subn("<EMAIL>", out)
+    if _DIGIT_RE.search(out) is not None:
+        out, counts["phone"] = SCRUB_PATTERNS[1][1].subn("<PHONE>", out)
+        if "." in out:
+            out, counts["ip"] = SCRUB_PATTERNS[2][1].subn("<IP>", out)
+        if "-" in out:
+            out, counts["ssn"] = SCRUB_PATTERNS[3][1].subn("<ID>", out)
+    lower = out.lower()
+    if any(w in lower for w in TOXICITY_LEXICON):
+        out, counts["toxicity"] = _TOX_RE.subn("<TOX>", out)
     return out, counts
 
 

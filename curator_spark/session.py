@@ -46,12 +46,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bound the Arrow batch so wide html/binary rows don't blow the
-        # executor python worker; 10k rows/batch keeps UDF calls amortized.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # executor python worker. Measured on local[32]: 10k-row batches of
+        # ~1KB pages pin enough off-heap Arrow memory across 32 workers to
+        # cause multi-x run-to-run jitter; 2k rows/batch is stable and no
+        # slower at low core counts.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("CURATOR_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("CURATOR_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -1,0 +1,132 @@
+"""Operator-level tests: dedup family, similarity search, text analysis.
+
+Oracle-checked operators are additionally verified against DuckDB SQL by
+tools/parity_check.py (and the driver); these tests cover the engine-internal
+operators (simhash, LSH ANN) with python twins / planted fixtures, mirroring
+the reference's golden-fixture strategy (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+        (2, "completely different content about spark partitioning and shuffle costs"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (4, "unrelated gibberish zx qv wk jj pm tt rr ss nn ll dd ff gg hh"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_key(docs_df):
+    out = {r.fp_md5: r for r in dedup.exact_dedup(docs_df).collect()}
+    sizes = sorted(r.group_size for r in out.values())
+    assert sizes == [1, 1, 1, 1, 2]
+    dup_group = [r for r in out.values() if r.group_size == 2][0]
+    assert dup_group.doc_id == 0  # min key wins over 3
+
+
+def test_minhash_finds_planted_near_dup(docs_df):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(docs_df).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup shares bands
+    assert (2, 4) not in pairs
+
+
+def test_jaccard_on_candidates_matches_python(docs_df):
+    cand = dedup.minhash_lsh_candidates(docs_df)
+    out = dedup.ngram_jaccard_pairs(docs_df, pairs=cand).collect()
+    texts = {r.doc_id: r.text for r in docs_df.collect()}
+
+    def shingles(t):
+        w = t.strip().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for r in out:
+        a, b = shingles(texts[r.id_a]), shingles(texts[r.id_b])
+        inter = len(a & b)
+        union = len(a | b)
+        assert r.inter == inter and r.union_sz == union
+        assert math.isclose(r.jaccard, inter / union)
+    assert any(r.jaccard == 1.0 for r in out)  # the exact dup pair
+
+
+def test_simhash_properties(docs_df):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
+    assert sh[0] == sh[3]  # identical text -> identical simhash
+    ham01 = bin((sh[0] ^ sh[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham02 = bin((sh[0] ^ sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+    near = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_pairs(dedup.simhash(docs_df), max_hamming=3).collect()
+    }
+    assert near[(0, 3)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    # two tight clusters + noise so near-dup/ANN have structure
+    base_a = rng.randn(8)
+    base_b = rng.randn(8)
+    rows = []
+    for i in range(30):
+        base = base_a if i % 2 == 0 else base_b
+        v = base + rng.randn(8) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_cos(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    vecs = {r.vec_id: r.embedding for r in emb_df.collect()}
+    out = similarity.brute_force_topk(emb_df, emb_df.filter(F.col("vec_id") < 3), k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        expect = sorted(
+            ((_np_cos(vecs[qid], v), i) for i, v in vecs.items() if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        assert [r.id for r in rows] == [i for _, i in expect]
+        for r, (c, _) in zip(rows, expect):
+            assert math.isclose(r.cos, c, rel_tol=1e-9)
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(emb_df, threshold=0.98).collect()}
+    assert pairs  # tight clusters produce near-dups
+    vecs = {r.vec_id: r.embedding for r in emb_df.collect()}
+    for a, b in pairs:
+        assert _np_cos(vecs[a], vecs[b]) >= 0.98
+        assert a % 2 == b % 2  # never across clusters
+
+
+def test_lsh_ann_scores_are_true_cosines(emb_df):
+    vecs = {r.vec_id: r.embedding for r in emb_df.collect()}
+    out = similarity.lsh_ann_topk(
+        emb_df, emb_df.filter(F.col("vec_id") < 3), dim=8, k=4, num_planes=4
+    ).collect()
+    assert out  # bucketing keeps same-cluster neighbors together
+    for r in out:
+        assert math.isclose(r.cos, _np_cos(vecs[r.qid], vecs[r.id]), rel_tol=1e-9)
+        assert 1 <= r.rank <= 4
