@@ -748,6 +748,68 @@ def q_scalar_funcs(spark, sf_dir):
     )
 
 
+@_register(
+    "json_params",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_or_default,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS parsed_ok
+    FROM events
+    """,
+)
+def q_json_params(spark, sf_dir):
+    """P2/P5: per-row generation-params JSON parsing with defaulting and a
+    validity flag (prompt_formatter.py:108-117,129-195 analog)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+        k.isNotNull().alias("parsed_ok"),
+    )
+
+
+@_register(
+    "binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(to_base64(encode(text)), 1, 32) AS b64_prefix
+    FROM documents
+    """,
+)
+def q_binary_meta(spark, sf_dir):
+    """P9: binary unpacking — byte length + base64 (types/prompt.py:26-46,
+    base64 encode parity across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(b).cast("long").alias("n_bytes"),
+        F.substring(F.base64(b), 1, 32).alias("b64_prefix"),
+    )
+
+
+@_register("multimodal_decode")  # stubbed decoder -> rows-only; pytest covers
+def q_multimodal_decode(spark, sf_dir):
+    from .operators.multimodal import decode_media, media_from_pages
+    from .sources.tables import load_pages
+
+    media = media_from_pages(load_pages(spark, sf_dir))
+    return decode_media(media).drop("fps")  # drop only-nullable-double col
+
+
+@_register("frame_sample")  # derived from stub decode -> rows-only
+def q_frame_sample(spark, sf_dir):
+    from .operators.multimodal import decode_media, frame_sample, media_from_pages
+    from .sources.tables import load_pages
+
+    media = media_from_pages(load_pages(spark, sf_dir))
+    return frame_sample(decode_media(media), every_n=10)
+
+
 # ===========================================================================
 # Model stages (pandas UDF path) — rows-only driver checks; pytest goldens
 # carry exact verification against the single-node oracle.

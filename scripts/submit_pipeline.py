@@ -1,0 +1,67 @@
+"""spark-submit entry point for the quality-filter pipeline.
+
+Deployment (north rule: spark-submit --py-files on a multi-executor
+cluster; model/lexicon data ships inside the package zip and is built once
+per executor process by the module-level singletons):
+
+    python scripts/build_pyfiles.py                       # -> dist/curator_spark.zip
+    spark-submit --py-files dist/curator_spark.zip \
+        scripts/submit_pipeline.py \
+        --input  /path/to/pages_parquet \
+        --output /path/to/output_root \
+        --chunks 16 --repartition 4096
+
+On a cluster, master/executors come from spark-submit; locally the session
+factory falls back to local[$SPARK_GRAFT_CPUS]. The lifecycle runner gives
+fingerprinted caching, chunked staged commits, resume, and per-partition
+metrics (see curator_spark/plans/runner.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="curator_spark quality-filter run")
+    p.add_argument("--input", required=True, help="pages parquet path/dir")
+    p.add_argument("--output", required=True, help="output root (runs/, metrics/, runs_catalog/)")
+    p.add_argument("--chunks", type=int, default=4)
+    p.add_argument("--repartition", type=int, default=None)
+    p.add_argument("--salt", default=None)
+    p.add_argument("--max-attempts", type=int, default=3)
+    args = p.parse_args()
+
+    from curator_spark.functions.partitioning import DEFAULT_SALT
+    from curator_spark.plans import runner as R
+    from curator_spark.session import get_spark
+
+    spark = get_spark(app_name="curator-spark-pipeline", master=None)
+    cfg = R.RunConfig(
+        input_path=args.input,
+        output_root=args.output,
+        num_chunks=args.chunks,
+        repartition_to=args.repartition,
+        salt=args.salt or DEFAULT_SALT,
+        max_attempts=args.max_attempts,
+    )
+    res = R.run_quality_filter(spark, cfg)
+    out = R.load_output(spark, res)
+    print(
+        json.dumps(
+            {
+                "run_id": res.run_id,
+                "run_dir": res.run_dir,
+                "cache_hit": res.cache_hit,
+                "chunks_run": res.chunks_run,
+                "chunks_skipped": res.chunks_skipped,
+                "output_rows": out.count(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
