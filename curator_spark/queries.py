@@ -749,6 +749,143 @@ def q_scalar_funcs(spark, sf_dir):
 
 
 @_register(
+    "events_error_filter",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type NOT IN ('error', 'signup')
+    GROUP BY event_type
+    """,
+)
+def q_events_error_filter(spark, sf_dir):
+    """F3: invalid finish_reason filter analog — drop rows whose status is
+    in a configured deny-list (config.py:36, base_online:497-505)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(~F.col("event_type").isin("error", "signup"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "union_scan",
+    """
+    SELECT doc_id, 'even' AS half FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'odd' AS half FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def q_union_scan(spark, sf_dir):
+    """O2: multi-file response union scan analog — unionByName of stage
+    outputs (base_request_processor.py:388,406)."""
+    d = _t(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", F.lit("even").alias("half"))
+    odd = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", F.lit("odd").alias("half"))
+    return even.unionByName(odd)
+
+
+@_register(
+    "raft_distractors",
+    """
+    WITH chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             substr(text, CAST(i * 80 + 1 AS INTEGER), 80) AS chunk
+      FROM documents,
+           unnest(range(0, CAST(ceil(length(text) / 80.0) AS BIGINT))) AS t(i)),
+    questions AS (SELECT DISTINCT doc_id AS q_doc FROM chunks WHERE doc_id < 20),
+    ranked AS (
+      SELECT q.q_doc, c.doc_id AS d_doc, c.chunk_idx AS d_chunk,
+             CAST(row_number() OVER (
+               PARTITION BY q.q_doc
+               ORDER BY md5(q.q_doc || ':' || c.doc_id || ':' || c.chunk_idx),
+                        c.doc_id, c.chunk_idx) AS INTEGER) AS rk
+      FROM questions q JOIN chunks c ON c.doc_id <> q.q_doc)
+    SELECT q_doc, d_doc, d_chunk, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q_raft_distractors(spark, sf_dir):
+    """J4: RAFT oracle+distractor assembly — keyed self-join plus
+    deterministic negative sampling (blocks/raft.py:111-178), with the
+    seed-rand ranking replaced by a content-hash ranking (reshuffle-stable)."""
+    chunks = q_chunking(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk"
+    )
+    questions = (
+        chunks.filter(F.col("doc_id") < 20).select(F.col("doc_id").alias("q_doc")).distinct()
+    )
+    joined = F.broadcast(questions).join(
+        chunks.withColumnRenamed("doc_id", "d_doc").withColumnRenamed("chunk_idx", "d_chunk"),
+        F.col("d_doc") != F.col("q_doc"),
+    )
+    rank_key = F.md5(
+        F.concat_ws(":", F.col("q_doc"), F.col("d_doc"), F.col("d_chunk"))
+    )
+    w = Window.partitionBy("q_doc").orderBy(rank_key, F.col("d_doc"), F.col("d_chunk"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_doc", "d_doc", "d_chunk", "rk")
+    )
+
+
+@_register(
+    "classifier_metrics",
+    f"""
+    WITH t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, n_chars,
+        length(text) AS nc, len(w) AS n_words,
+        len(list_filter(w, x -> list_contains({_sql_lex_list('en')}, lower(x)))) AS stop_hits,
+        length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_symbols,
+        len(list_distinct(list_transform(w, x -> lower(x)))) AS n_distinct
+      FROM t),
+    f AS (
+      SELECT doc_id, n_chars,
+        least(greatest(5 - (
+          CAST((nc < {rules.MIN_CHARS} OR nc > {rules.MAX_CHARS}) AS INTEGER)
+          + CAST((n_words > 0 AND n_symbols / n_words > {rules.MAX_SYMBOL_RATIO}) AS INTEGER)
+          + CAST((n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS INTEGER)
+          + CAST((n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS INTEGER)
+        ), 0), 5) AS score
+      FROM s),
+    cmp AS (SELECT (score >= 3) AS pred, (n_chars >= 200) AS label FROM f)
+    SELECT
+      CAST(SUM(CAST(pred AND label AS BIGINT)) AS BIGINT) AS tp,
+      CAST(SUM(CAST(pred AND NOT label AS BIGINT)) AS BIGINT) AS fp,
+      CAST(SUM(CAST(NOT pred AND label AS BIGINT)) AS BIGINT) AS fn,
+      CAST(SUM(CAST(NOT pred AND NOT label AS BIGINT)) AS BIGINT) AS tn,
+      CAST(SUM(CAST(pred AND label AS BIGINT)) AS DOUBLE)
+        / (SUM(CAST(pred AND label AS BIGINT)) + SUM(CAST(pred AND NOT label AS BIGINT))) AS precision_,
+      CAST(SUM(CAST(pred AND label AS BIGINT)) AS DOUBLE)
+        / (SUM(CAST(pred AND label AS BIGINT)) + SUM(CAST(NOT pred AND label AS BIGINT))) AS recall_
+    FROM cmp
+    """,
+)
+def q_classifier_metrics(spark, sf_dir):
+    """A7: prediction-vs-label confusion counts + precision/recall
+    (predict.py:72-88, train_classifier.py:19-47 analog) — the aggregation
+    underlying the F1>=0.99 acceptance gate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = textanalysis.quality_score(_t(spark, sf_dir, "documents"))
+    j = scored.join(d, "doc_id").select(
+        (F.col("score") >= 3).alias("pred"), (F.col("n_chars") >= 200).alias("label")
+    )
+    tp = F.sum((F.col("pred") & F.col("label")).cast("long"))
+    fp = F.sum((F.col("pred") & ~F.col("label")).cast("long"))
+    fn = F.sum((~F.col("pred") & F.col("label")).cast("long"))
+    tn = F.sum((~F.col("pred") & ~F.col("label")).cast("long"))
+    return j.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        (tp.cast("double") / (tp + fp)).alias("precision_"),
+        (tp.cast("double") / (tp + fn)).alias("recall_"),
+    )
+
+
+@_register(
     "json_params",
     """
     SELECT event_id,
