@@ -203,13 +203,76 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
     # chunk membership = pure function of url -> stable across reruns/retries
     bucket = F.pmod(F.xxhash64(F.col("url"), F.lit(config.salt)), F.lit(config.num_chunks))
 
+    missing = [c for c in range(config.num_chunks) if not _is_committed(_chunk_dir(run_dir, c))]
+    chunks_skipped = config.num_chunks - len(missing)
     chunks_run = 0
-    chunks_skipped = 0
-    for chunk in range(config.num_chunks):
+
+    def _commit_metrics(chunk: int, wall_ms: int) -> None:
+        committed = spark.read.parquet(_chunk_dir(run_dir, chunk))
+        _append_table(
+            config.output_root, "metrics", _chunk_metrics(committed, run_id, chunk, wall_ms)
+        )
+
+    def _fail_catalog() -> None:
+        _append_table(
+            config.output_root,
+            "runs_catalog",
+            pd.DataFrame(
+                [
+                    {
+                        "run_id": run_id,
+                        "input_snapshot": config.input_path,
+                        "config_json": config.to_json(),
+                        "status": "FAILED",
+                        "event_time": datetime.now(timezone.utc),
+                    }
+                ]
+            ),
+        )
+
+    if len(missing) == config.num_chunks:
+        # Fresh run: ONE job over the whole input, output partitioned by
+        # chunk, then per-chunk atomic promotion. The per-chunk fallback
+        # below would scan the full input once per chunk (the chunk id is a
+        # computed column, so no scan-level pruning is possible) — at 100 TB
+        # that is num_chunks full scans; this path scans exactly once.
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                t0 = time.monotonic()
+                out = _pipeline_mod.quality_filter(
+                    pages, repartition_to=config.repartition_to, salt=config.salt
+                ).withColumn("chunk", bucket)
+                staging = os.path.join(run_dir, f"all.staging-{uuid.uuid4().hex[:8]}")
+                out.write.mode("overwrite").partitionBy("chunk").parquet(staging)
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                for chunk in range(config.num_chunks):
+                    src = os.path.join(staging, f"chunk={chunk}")
+                    cdir = _chunk_dir(run_dir, chunk)
+                    if not os.path.isdir(src):  # empty chunk: commit empty dir
+                        os.makedirs(src, exist_ok=True)
+                        # write an empty parquet so readers see the schema
+                        spark.createDataFrame([], out.drop("chunk").schema).write.mode(
+                            "overwrite"
+                        ).parquet(src)
+                    open(os.path.join(src, "_SUCCESS"), "a").close()
+                    if os.path.exists(cdir):
+                        shutil.rmtree(cdir)
+                    os.rename(src, cdir)
+                    _commit_metrics(chunk, wall_ms // config.num_chunks)
+                    chunks_run += 1
+                shutil.rmtree(staging, ignore_errors=True)
+                break
+            except Exception:
+                if attempt >= config.max_attempts:
+                    _fail_catalog()
+                    raise
+        missing = []
+
+    for chunk in missing:
+        # Resume path: recompute only the missing chunks (bounded rescans).
         cdir = _chunk_dir(run_dir, chunk)
-        if _is_committed(cdir):  # resume: committed snapshot -> skip
-            chunks_skipped += 1
-            continue
         attempt = 0
         while True:
             attempt += 1
@@ -220,30 +283,12 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
                     part, repartition_to=config.repartition_to, salt=config.salt
                 )
                 _staged_write(out, cdir)
-                wall_ms = int((time.monotonic() - t0) * 1000)
-                committed = spark.read.parquet(cdir)
-                _append_table(
-                    config.output_root, "metrics", _chunk_metrics(committed, run_id, chunk, wall_ms)
-                )
+                _commit_metrics(chunk, int((time.monotonic() - t0) * 1000))
                 chunks_run += 1
                 break
             except Exception:
                 if attempt >= config.max_attempts:
-                    _append_table(
-                        config.output_root,
-                        "runs_catalog",
-                        pd.DataFrame(
-                            [
-                                {
-                                    "run_id": run_id,
-                                    "input_snapshot": config.input_path,
-                                    "config_json": config.to_json(),
-                                    "status": "FAILED",
-                                    "event_time": datetime.now(timezone.utc),
-                                }
-                            ]
-                        ),
-                    )
+                    _fail_catalog()
                     raise
 
     # require_all check (config.py:30 semantics): every chunk committed
