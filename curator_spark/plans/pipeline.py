@@ -68,3 +68,25 @@ def quality_filter(
 def kept_pages(verdicts: DataFrame) -> DataFrame:
     """The keep side (F5) — what downstream training-data jobs consume."""
     return verdicts.filter(F.col("keep")).select("url", "warc_ts", "lang_pred", "scrubbed_text")
+
+
+def export_corpus(
+    verdicts: DataFrame,
+    out_dir: str,
+    target_rows_per_file: int = 100_000,
+) -> None:
+    """K4 publish analog: materialize the kept corpus as a clean, sharded
+    parquet dataset partitioned by predicted language. File-count control
+    via a url-hash repartition (deterministic shard membership) rather than
+    coalesce, so shard sizes stay balanced under host skew; at real scale
+    this is an Iceberg table write with the same layout.
+    """
+    kept = kept_pages(verdicts)
+    n = kept.count()
+    shards = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    (
+        kept.repartition(shards, F.xxhash64("url"))
+        .write.mode("overwrite")
+        .partitionBy("lang_pred")
+        .parquet(out_dir)
+    )

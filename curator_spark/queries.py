@@ -969,6 +969,22 @@ def q_perplexity_udf(spark, sf_dir):
     return perplexity_stage(d, text_col="text").select("doc_id", "perplexity")
 
 
+@_register("classifier_predict")  # train-on-oracle + distributed apply
+def q_classifier_predict(spark, sf_dir):
+    """P11: batched classifier inference (train_classifier.py/predict.py
+    analog) — ridge fit on the single-node oracle labels, applied as an
+    Arrow-batched UDF over native rule-flag features."""
+    from .datagen import build_pages_pdf
+    from .operators import classifier as clf
+    from .oracle import golden_labels
+    from .plans.pipeline import quality_filter
+    from .sources.tables import load_pages
+
+    weights = clf.fit_on_golden(golden_labels(build_pages_pdf(sf_dir)))
+    scored = clf.feature_stage(quality_filter(load_pages(spark, sf_dir)))
+    return clf.apply_model(scored, weights).select("url", "pred_score", "pred_keep")
+
+
 @_register("pipeline_verdicts")
 def q_pipeline_verdicts(spark, sf_dir):
     """The flagship end-to-end quality filter over the derived pages table
