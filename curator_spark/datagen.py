@@ -145,7 +145,12 @@ def pages_path_for(sf_dir: str, cache_root: str | None = None, replication: int 
     """Content-addressed local cache of the generated pages parquet
     (write-once; analog of the reference's cache-dir-by-fingerprint,
     /root/reference/src/bespokelabs/curator/llm/llm.py:140-165)."""
-    cache_root = cache_root or os.path.join(os.path.dirname(os.path.dirname(__file__)), ".data")
+    if cache_root is None:
+        cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".data")
+        if not os.access(os.path.dirname(cache_root), os.W_OK):
+            import tempfile
+
+            cache_root = os.path.join(tempfile.gettempdir(), "curator_spark_data")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(cache_root, f"pages_{tag}_x{replication}.pq")
     if not os.path.isdir(out):
