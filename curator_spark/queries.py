@@ -473,7 +473,7 @@ def q_lsh_ann_topk(spark, sf_dir):
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: partial+final hash agg; exact DECIMAL accumulation ->
     bit-stable doubles under any shuffle order."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
     qty = F.col("l_quantity").cast("decimal(12,2)")
     ext = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
@@ -571,7 +571,7 @@ def q_anti_join_resume(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
@@ -674,6 +674,41 @@ def q_events_type_month(spark, sf_dir):
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+    )
+
+
+@_register(
+    "quantiles_distinct",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_quantiles_distinct(spark, sf_dir):
+    """Exact interpolated percentiles + distinct count (the verifiable twins
+    of the sketch family below; cross-engine interpolation is bit-identical)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.count_distinct("o_custkey").alias("n_cust"),
+    )
+
+
+@_register("sketch_quantiles_hll")  # engine-specific sketches -> rows-only
+def q_sketch_quantiles_hll(spark, sf_dir):
+    """The 100 TB scale path for quantiles_distinct: mergeable sketches
+    (GK approx percentile, HyperLogLog++) — constant memory per partition,
+    one tiny row per group through the shuffle. Approximation differs per
+    engine, so the driver records rows-only; the exact twin above is the
+    oracle-checked contract."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("n_cust_approx"),
     )
 
 
