@@ -79,21 +79,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int, w: int = 3) -> Column:
-    """array<string> of ``num_hashes`` min-hashes: min(md5(i||'|'||shingle)).
-
-    Salted md5 per hash index — a valid MinHash family, chosen because the
-    identical expression runs in DuckDB (cross-engine oracle)."""
-    sh = word_shingles(text, w)
-
-    def salted(prefix: str):
-        # NB: a 1-arg lambda on purpose — a 2-arg lambda would be bound by
-        # F.transform as (element, index) and shadow the captured salt.
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, salted(f"{i}|"))) for i in range(num_hashes)]
-    )
+# MinHash family: h_i(doc) = min over shingles of md5(f"{i}|" + shingle) —
+# salted md5 per hash index, a valid MinHash family chosen because the
+# identical expression runs in DuckDB (cross-engine oracle). Implemented via
+# explode + hash-agg below; an array-expression formulation (array_min of
+# transform per salt) measured ~20x slower because Spark interprets
+# higher-order functions and re-evaluates duplicated subtrees.
 
 
 def minhash_lsh_candidates(
@@ -175,12 +166,15 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, inter, union_sz, jaccard) with exact integer
     inter/union so the double division is bit-stable cross-engine.
     """
-    sh = df.select(
-        F.col(key).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), w)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    na = sh.select("id", F.size("sh").alias("n"))
+    # Shingling is the expensive subtree; placing it BELOW the
+    # dropDuplicates shuffle lets Spark's ReuseExchange serve all three
+    # consumers (x side, y side, per-doc counts) from ONE evaluation —
+    # without it the plan re-shingles every document 3x.
+    ex = (
+        df.select(F.col(key).alias("id"), F.explode(word_shingles(F.col(text_col), w)).alias("s"))
+        .dropDuplicates(["id", "s"])
+    )
+    na = ex.groupBy("id").agg(F.count("*").alias("n"))
     if pairs is None:
         inter = (
             ex.alias("x")
