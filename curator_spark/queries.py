@@ -1004,6 +1004,23 @@ def q_perplexity_udf(spark, sf_dir):
     return perplexity_stage(d, text_col="text").select("doc_id", "perplexity")
 
 
+@_register("sessionize_events")  # tz-sensitive epochs -> rows-only; the
+# streaming twin is verified exactly in tests/test_sessionize.py
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator, streaming/sessionize.py)."""
+    from .streaming.sessionize import sessionize_batch
+
+    out = sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.col("total_value").cast("decimal(18,4)").cast("double").alias("total_value"),
+    )
+
+
 @_register("classifier_predict")  # train-on-oracle + distributed apply
 def q_classifier_predict(spark, sf_dir):
     """P11: batched classifier inference (train_classifier.py/predict.py
