@@ -330,6 +330,93 @@ def load_output(spark: SparkSession, result: RunResult) -> DataFrame:
     return spark.read.parquet(os.path.join(result.run_dir, "chunk=*"))
 
 
+def run_incremental(
+    spark: SparkSession, config: RunConfig, prior: RunResult
+) -> RunResult:
+    """Process only pages NOT present in a prior run's committed output and
+    commit them as an increment of the new run (the daily-crawl-dump case:
+    the input grew; re-scoring already-committed urls is pure waste).
+
+    Plan: anti-join new input against the prior output's url set (broadcast
+    when small, shuffle otherwise — Catalyst decides), run the pipeline on
+    the remainder only, then copy forward the prior chunks. Output layout,
+    fingerprint and resume semantics equal a fresh full run's — downstream
+    consumers cannot tell the difference.
+    """
+    run_id = run_fingerprint(config)
+    run_dir = os.path.join(config.output_root, "runs", run_id)
+    os.makedirs(run_dir, exist_ok=True)
+    manifest_path = os.path.join(run_dir, "manifest.json")
+    if os.path.exists(manifest_path):
+        return RunResult(run_id, run_dir, True, 0, config.num_chunks)
+
+    pages = spark.read.parquet(config.input_path)
+    done_urls = load_output(spark, prior).select("url")
+    remainder = pages.join(done_urls, "url", "left_anti")
+    bucket = F.pmod(F.xxhash64(F.col("url"), F.lit(config.salt)), F.lit(config.num_chunks))
+
+    t0 = time.monotonic()
+    new_out = _pipeline_mod.quality_filter(
+        remainder, repartition_to=config.repartition_to, salt=config.salt
+    ).withColumn("chunk", bucket)
+    staging = os.path.join(run_dir, f"inc.staging-{uuid.uuid4().hex[:8]}")
+    new_out.write.mode("overwrite").partitionBy("chunk").parquet(staging)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    prior_by_chunk = spark.read.parquet(os.path.join(prior.run_dir, "chunk=*")).withColumn(
+        "chunk",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(config.salt)), F.lit(config.num_chunks)),
+    )
+    for chunk in range(config.num_chunks):
+        cdir = _chunk_dir(run_dir, chunk)
+        src = os.path.join(staging, f"chunk={chunk}")
+        merged_staging = cdir + f".staging-{uuid.uuid4().hex[:8]}"
+        parts = [prior_by_chunk.filter(F.col("chunk") == chunk).drop("chunk")]
+        if os.path.isdir(src):
+            parts.append(spark.read.parquet(src))
+        merged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        merged.write.mode("overwrite").parquet(merged_staging)
+        if os.path.exists(cdir):
+            shutil.rmtree(cdir)
+        os.rename(merged_staging, cdir)
+        committed = spark.read.parquet(cdir)
+        _append_table(
+            config.output_root,
+            "metrics",
+            _chunk_metrics(committed, run_id, chunk, wall_ms // config.num_chunks),
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(
+            {
+                "run_id": run_id,
+                "config": json.loads(config.to_json()),
+                "num_chunks": config.num_chunks,
+                "incremental_from": prior.run_id,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+            },
+            f,
+        )
+    os.rename(manifest_path + ".tmp", manifest_path)
+    return RunResult(run_id, run_dir, False, config.num_chunks, 0)
+
+
+def metrics_summary(spark: SparkSession, output_root: str, run_id: str | None = None) -> DataFrame:
+    """A2/A3 roll-up over the per-partition metrics table: totals per run —
+    docs seen/kept/dropped and per-rule drop/scrub counters (the analog of
+    curator's end-of-run status report, online_status_tracker.py:504-519)."""
+    m = read_table(spark, output_root, "metrics")
+    if run_id is not None:
+        m = m.filter(F.col("run_id") == run_id)
+    sums = [
+        F.sum(c).alias(c)
+        for c in m.columns
+        if c.startswith(("docs_", "drops_", "scrubs_"))
+    ]
+    return m.groupBy("run_id").agg(*sums)
+
+
 def resume_remainder(spark: SparkSession, pages: DataFrame, result: RunResult) -> DataFrame:
     """Row-level anti-join view: input rows not yet in committed output
     (J2/F1, SURVEY.md §2.5) — for ad-hoc remainder inspection."""

@@ -91,3 +91,51 @@ def test_metrics_and_catalog(spark, pages_path, tmp_path, golden):
     assert metrics["drops_toxicity"].sum() == fired_tox
     cat = R.read_table(spark, cfg.output_root, "runs_catalog").toPandas()
     assert set(cat["status"]) == {"STARTED", "COMPLETED"}
+
+
+def test_incremental_run(spark, tmp_path, golden):
+    """Grow the input, run incrementally: only new urls are scored; output
+    equals a full fresh run over the grown input."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.datagen import PAGES_SCHEMA, build_pages_pdf
+    from curator_spark.plans.runner import load_output, metrics_summary, run_incremental
+
+    pdf = build_pages_pdf("/root/testdata/sf0.001")
+    half = pdf.iloc[:250]
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(half, schema=PAGES_SCHEMA, preserve_index=False),
+        str(src1 / "a.parquet"),
+    )
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=PAGES_SCHEMA, preserve_index=False),
+        str(src2 / "a.parquet"),
+    )
+
+    out_root = str(tmp_path / "out")
+    cfg1 = R.RunConfig(input_path=str(src1), output_root=out_root, num_chunks=3)
+    res1 = R.run_quality_filter(spark, cfg1)
+    assert load_output(spark, res1).count() == 250
+
+    cfg2 = R.RunConfig(input_path=str(src2), output_root=out_root, num_chunks=3)
+    res2 = run_incremental(spark, cfg2, prior=res1)
+    assert not res2.cache_hit and res2.run_id != res1.run_id
+
+    out = load_output(spark, res2).toPandas()
+    assert len(out) == len(golden) and out["url"].is_unique
+    merged = out.merge(golden[["url", "keep", "scrubbed_text"]], on="url", suffixes=("", "_g"))
+    assert (merged["keep"] == merged["keep_g"]).all()
+    assert merged["scrubbed_text"].equals(merged["scrubbed_text_g"])
+
+    # rerun of the incremental = cache hit
+    assert run_incremental(spark, cfg2, prior=res1).cache_hit
+
+    summary = metrics_summary(spark, out_root, res2.run_id).collect()[0]
+    assert summary.docs_seen == len(golden)
+    assert summary.docs_kept == int(golden["keep"].sum())
