@@ -15,11 +15,22 @@ Layout
 - ``lm``         : deterministic char-trigram language model (perplexity).
 - ``datagen``    : seeded Common-Crawl-style ``pages`` table generator.
 - ``oracle``     : single-node pandas oracle producing golden labels.
-- ``operators/`` : Spark stages (extract, langid, perplexity, heuristics,
-                   scrub, verdict, dedup, similarity, textanalysis, ...).
+- ``operators/`` : Spark stages — ``udf_stages`` (fused Arrow-batched
+                   extract/langid/perplexity/scrub), ``heuristics`` +
+                   ``verdict`` (native codegen), ``dedup`` (exact /
+                   MinHash-LSH / SimHash / Jaccard / embedding),
+                   ``similarity`` (brute + sign-LSH ANN), ``textanalysis``,
+                   ``classifier`` (train/apply), ``multimodal`` (binary
+                   media plumbing, stubbed decode).
 - ``plans/``     : pipeline assembly + lifecycle runner (fingerprint, cache
-                   probe, resume anti-join, metrics).
+                   probe, single-pass chunked commits, incremental runs,
+                   resume anti-join, metrics).
+- ``streaming/`` : Structured Streaming ingest (watermark windows, stream
+                   dedup, foreachBatch filter) + stateful sessionization.
 - ``sources/``   : table loaders and the staged-commit parquet sink.
+- ``queries``    : the named query registry with DuckDB oracle twins
+                   (exposed to the verification driver via
+                   ``__spark_entry__``).
 """
 
 __version__ = "0.1.0"

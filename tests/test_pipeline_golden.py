@@ -61,3 +61,18 @@ def test_content_classes_exercised(golden):
     scrubs = pd.DataFrame(list(golden["scrubs"]))
     for rule in ("email", "phone", "ip", "toxicity"):
         assert scrubs[rule].sum() > 0, f"scrub rule {rule} never fired"
+
+
+def test_export_corpus_roundtrip(spark, pages_df, golden, tmp_path):
+    """K4 publish analog: kept pages exported as a lang-partitioned sharded
+    corpus; read-back equals the golden keep set exactly."""
+    from curator_spark.plans.pipeline import export_corpus, quality_filter
+
+    out = str(tmp_path / "corpus")
+    export_corpus(quality_filter(pages_df), out, target_rows_per_file=100)
+    back = spark.read.parquet(out).toPandas()
+    gold = golden[golden["keep"]]
+    assert len(back) == len(gold)
+    assert set(back["url"]) == set(gold["url"])
+    merged = back.merge(gold[["url", "scrubbed_text"]], on="url", suffixes=("", "_g"))
+    assert merged["scrubbed_text"].equals(merged["scrubbed_text_g"])
