@@ -140,13 +140,15 @@ def langid(text: str) -> tuple[str, float]:
     0.0 when nothing matches (-> 'und')."""
     if not text:
         return "und", 0.0
-    n_ar = len(_ARABIC_RE.findall(text))
-    n_zh = len(_CJK_RE.findall(text))
-    n = len(text)
-    if n_ar * 2 > n:
-        return "ar", min(1.0, n_ar / n)
-    if n_zh * 2 > n:
-        return "zh", min(1.0, n_zh / n)
+    if not text.isascii():  # ASCII text has zero ar/zh hits by definition;
+        # the C-level gate skips two full regex scans on the common case
+        n_ar = len(_ARABIC_RE.findall(text))
+        n_zh = len(_CJK_RE.findall(text))
+        n = len(text)
+        if n_ar * 2 > n:
+            return "ar", min(1.0, n_ar / n)
+        if n_zh * 2 > n:
+            return "zh", min(1.0, n_zh / n)
     toks = tokens(text.lower())  # lower() once; whitespace is case-invariant
     if not toks:
         return "und", 0.0
