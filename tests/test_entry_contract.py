@@ -1,0 +1,29 @@
+"""Driver-contract sanity: queries()/oracle_sql() stay consistent and the
+flagship entry() produces a stable, non-empty result."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def test_registry_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)  # every oracle has a query
+    assert len(oracles) >= 30
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert "SELECT" in sql.upper(), name
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "url" in df.columns and "keep" in df.columns
