@@ -85,15 +85,29 @@ def _pipeline_once(cores: int, pages_path: str) -> None:
             # CPUs — otherwise GC/JIT threads thrash the small configuration
             "spark.driver.extraJavaOptions": (
                 f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, gc_threads // 2)}"
-            )
+            ),
+            # one scan task per input file at every core count: the default
+            # packing folds the dataset into ~cores partitions, whose uneven
+            # tails cost a different idle fraction at N vs 4N cores — fixed
+            # fine-grained tasks make the waves compare apples-to-apples
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "0",
         },
     )
     pages = spark.read.parquet(pages_path)
     n_rows = pages.count()
-    # warmup: JIT/classload + python worker pool spin-up on a small slice
-    _materialize(quality_filter(pages.limit(2000)))
+    # Shuffle-free plan: the multi-file scan layout already provides uniform
+    # parallelism at any core count, so the salted repartition (kept for
+    # host-skewed inputs; see BENCH.md skew section) would only add a
+    # shuffle barrier here.
+    plan = quality_filter(pages)
+    # Warmup = one FULL untimed run: spins up every python worker (a limit()
+    # warmup starts only one, leaving k-1 fork+import costs in the timed
+    # window — a constant that taxes the 4N configuration 4x harder), and
+    # JIT-compiles the whole JVM path end to end.
+    _materialize(plan)
     t0 = time.monotonic()
-    _materialize(quality_filter(pages, repartition_to=4 * cores))
+    _materialize(plan)
     wall = time.monotonic() - t0
     print(json.dumps({"wall": wall, "rows": n_rows}))
     spark.stop()
@@ -184,18 +198,32 @@ def main() -> None:
         if r_4n:
             walls_4n.append(round(r_4n[0], 3))
             pages_rows = pages_rows or r_4n[1]
-    wall_n, wall_4n = min(walls_n), min(walls_4n)
-    tput_n = pages_rows / wall_n
-    tput_4n = pages_rows / wall_4n
-    efficiency = (tput_4n / tput_n) / (N_LARGE / N_SMALL)
+    # a config with every sample timed out (sustained host steal) gets one
+    # extra salvage round before we report a partial result
+    for walls, cores in ((walls_n, N_SMALL), (walls_4n, N_LARGE)):
+        if not walls:
+            r = _run_pipeline_subprocess(cores, pages_path)
+            if r:
+                walls.append(round(r[0], 3))
+                pages_rows = pages_rows or r[1]
+    scale_ok = bool(walls_n and walls_4n)
+    wall_n = min(walls_n) if walls_n else None
+    wall_4n = min(walls_4n) if walls_4n else None
+    tput_n = pages_rows / wall_n if scale_ok else None
+    tput_4n = pages_rows / wall_4n if scale_ok else None
+    efficiency = (tput_4n / tput_n) / (N_LARGE / N_SMALL) if scale_ok else None
     raw_speedup = _raw_cpu_speedup()
-    machine_relative = (tput_4n / tput_n) / raw_speedup if raw_speedup else None
+    machine_relative = (
+        (tput_4n / tput_n) / raw_speedup if scale_ok and raw_speedup else None
+    )
 
     # --- headline operator queries at $SPARK_GRAFT_CPUS --------------------
     spark = get_spark(
         app_name="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS
     )
-    timings: dict[str, float] = {"pipeline": round(wall_4n, 3)}
+    timings: dict[str, float] = {}
+    if wall_4n is not None:
+        timings["pipeline"] = round(wall_4n, 3)
     # warmup the fresh session once
     _materialize(q.Q["q1_pricing_summary"](spark, SF_DIR))
     for name in HEADLINE:
@@ -215,14 +243,18 @@ def main() -> None:
         "pipeline_cores_4n": N_LARGE,
         "pipeline_walls_n_sec": walls_n,
         "pipeline_walls_4n_sec": walls_4n,
-        "pipeline_wall_n_sec": round(wall_n, 3),
-        "pipeline_wall_4n_sec": round(wall_4n, 3),
-        "docs_per_sec_n": round(tput_n, 1),
-        "docs_per_sec_4n": round(tput_4n, 1),
-        "scaling_efficiency_n_to_4n": round(efficiency, 3),
-        "raw_cpu_speedup_n_to_4n": round(raw_speedup, 3),
-        "machine_relative_scaling_efficiency": round(machine_relative, 3),
+        "pipeline_wall_n_sec": wall_n,
+        "pipeline_wall_4n_sec": wall_4n,
+        "docs_per_sec_n": round(tput_n, 1) if tput_n else None,
+        "docs_per_sec_4n": round(tput_4n, 1) if tput_4n else None,
+        "scaling_efficiency_n_to_4n": round(efficiency, 3) if efficiency else None,
+        "raw_cpu_speedup_n_to_4n": round(raw_speedup, 3) if raw_speedup else None,
+        "machine_relative_scaling_efficiency": (
+            round(machine_relative, 3) if machine_relative else None
+        ),
     }
+    if not scale_ok:
+        out["scale_error"] = "all scaling samples exceeded SCALE_RUN_TIMEOUT (host steal)"
     print(json.dumps(out))
 
 

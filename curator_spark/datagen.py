@@ -121,7 +121,10 @@ def build_pages_pdf(sf_dir: str, replication: int = 1) -> pd.DataFrame:
     return pd.DataFrame.from_records(recs)
 
 
-ROWS_PER_FILE = 10_000
+# Small enough that any bench core count gets several waves of scan tasks
+# (48 files at the default x24 replication): file granularity IS the scan
+# parallelism knob for the shuffle-free pipeline plan.
+ROWS_PER_FILE = 2_500
 
 
 def write_pages(sf_dir: str, out_path: str, replication: int = 1) -> str:
@@ -152,7 +155,8 @@ def pages_path_for(sf_dir: str, cache_root: str | None = None, replication: int 
 
             cache_root = os.path.join(tempfile.gettempdir(), "curator_spark_data")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(cache_root, f"pages_{tag}_x{replication}.pq")
+    # v2: layout version (rows-per-file) is part of the cache identity
+    out = os.path.join(cache_root, f"pages_{tag}_x{replication}_v2.pq")
     if not os.path.isdir(out):
         write_pages(sf_dir, out, replication)
     return out

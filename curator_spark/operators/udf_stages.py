@@ -130,32 +130,38 @@ _FUSED_SCHEMA = StructType(
 )
 
 
+def _score_texts(trunc: list[str]) -> pd.DataFrame:
+    """Columnar scoring of already-truncated texts (shared by the one-pass
+    fused UDF and the post-shuffle text stage). Column-at-a-time: perplexity
+    runs over the whole Arrow batch as one numpy pass (lm.perplexities);
+    langid/scrub stay per-row python but build columns, not row tuples."""
+    lm = get_lm()
+    lid = [rules.langid(t) for t in trunc]
+    ppl = lm.perplexities(trunc)
+    scr = [rules.scrub_text(t) for t in trunc]
+    return pd.DataFrame(
+        {
+            "lang_pred": [x[0] for x in lid],
+            "lang_conf": [x[1] for x in lid],
+            "perplexity": ppl,
+            "scrubbed_text": [x[0] for x in scr],
+            "scrub_email": [x[1]["email"] for x in scr],
+            "scrub_phone": [x[1]["phone"] for x in scr],
+            "scrub_ip": [x[1]["ip"] for x in scr],
+            "scrub_ssn": [x[1]["ssn"] for x in scr],
+            "scrub_toxicity": [x[1]["toxicity"] for x in scr],
+        }
+    )
+
+
 @F.pandas_udf(_FUSED_SCHEMA)
 def _fused_udf(html: pd.Series) -> pd.DataFrame:
-    lm = get_lm()
-    rows = []
-    for h in html:
-        extracted = rules.extract_text(h)
-        t = extracted[: rules.TRUNCATE_CHARS]  # parity: text[:10_000], score.py:104
-        lang_pred, lang_conf = rules.langid(t)
-        ppl = lm.perplexity(t)
-        scrubbed, counts = rules.scrub_text(t)
-        rows.append(
-            (
-                extracted,
-                t,
-                lang_pred,
-                lang_conf,
-                ppl,
-                scrubbed,
-                counts["email"],
-                counts["phone"],
-                counts["ip"],
-                counts["ssn"],
-                counts["toxicity"],
-            )
-        )
-    return pd.DataFrame(rows, columns=_FUSED_SCHEMA.fieldNames())
+    extracted = [rules.extract_text(h) for h in html]
+    trunc = [e[: rules.TRUNCATE_CHARS] for e in extracted]  # score.py:104 parity
+    out = _score_texts(trunc)
+    out.insert(0, "extracted_text", extracted)
+    out.insert(1, "text_t", trunc)
+    return out[_FUSED_SCHEMA.fieldNames()]
 
 
 def fused_score_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
@@ -165,3 +171,49 @@ def fused_score_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
     for f in _FUSED_SCHEMA.fieldNames():
         df = df.withColumn(f, F.col("_m")[f])
     return df.drop("_m")
+
+
+# ---------------------------------------------------------------------------
+# Split stages for the salted-repartition path: extract BEFORE the shuffle
+# (so only narrow text columns cross the wire, never raw html — at 100 TB
+# html is 10-50x the extracted text), score AFTER it.
+# ---------------------------------------------------------------------------
+
+_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("extracted_text", StringType()),
+        StructField("text_t", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_EXTRACT_SCHEMA)
+def _extract_truncate_udf(html: pd.Series) -> pd.DataFrame:
+    extracted = [rules.extract_text(h) for h in html]
+    return pd.DataFrame(
+        {"extracted_text": extracted, "text_t": [e[: rules.TRUNCATE_CHARS] for e in extracted]}
+    )
+
+
+def extract_truncate_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
+    e = _extract_truncate_udf(F.col(html_col))
+    return (
+        df.withColumn("extracted_text", e["extracted_text"])
+        .withColumn("text_t", e["text_t"])
+    )
+
+
+_TEXT_SCORE_SCHEMA = StructType(_FUSED_SCHEMA.fields[2:])
+
+
+@F.pandas_udf(_TEXT_SCORE_SCHEMA)
+def _text_score_udf(text_t: pd.Series) -> pd.DataFrame:
+    return _score_texts([t if t is not None else "" for t in text_t])
+
+
+def text_score_stage(df: DataFrame, text_col: str = "text_t") -> DataFrame:
+    """text_t -> langid/perplexity/scrub columns (post-shuffle scoring)."""
+    s = _text_score_udf(F.col(text_col))
+    for f in _TEXT_SCORE_SCHEMA.fieldNames():
+        df = df.withColumn(f, s[f])
+    return df

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from ..functions.partitioning import salted_repartition
 from ..operators.heuristics import heuristics_stage
-from ..operators.udf_stages import fused_score_stage
+from ..operators.udf_stages import (
+    extract_truncate_stage,
+    fused_score_stage,
+    text_score_stage,
+)
 from ..operators.verdict import verdict_stage
 
 OUTPUT_COLUMNS = [
@@ -52,14 +56,19 @@ def quality_filter(
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> verdict table.
 
-    ``repartition_to``: explicit salted url-hash repartition before the
-    scoring stage (north rule). Leave None for narrow, scan-partitioned
-    execution when the input layout is already uniform.
+    ``repartition_to``: explicit salted url-hash repartition (north rule,
+    host-skew defusal). The repartition happens AFTER extraction on narrow
+    text columns — raw html (10-50x wider than extracted text at web scale)
+    never crosses the shuffle. Leave None for the fully fused, shuffle-free
+    plan when the input scan layout is already uniform.
     """
-    df = pages
     if repartition_to:
+        df = extract_truncate_stage(pages)  # Arrow boundary 1: html -> text
+        df = df.drop("html", "text")  # narrow rows only through the wire
         df = salted_repartition(df, "url", repartition_to, *( [salt] if salt else [] ))
-    df = fused_score_stage(df)  # ONE Arrow boundary: extract+truncate+langid+ppl+scrub
+        df = text_score_stage(df)  # Arrow boundary 2: langid+ppl+scrub
+    else:
+        df = fused_score_stage(pages)  # ONE Arrow boundary for everything
     df = heuristics_stage(df, text_col="text_t")  # native codegen
     df = verdict_stage(df)  # native codegen
     return df.select(*OUTPUT_COLUMNS)
@@ -82,11 +91,17 @@ def export_corpus(
     this is an Iceberg table write with the same layout.
     """
     kept = kept_pages(verdicts)
-    n = kept.count()
-    shards = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
-    (
-        kept.repartition(shards, F.xxhash64("url"))
-        .write.mode("overwrite")
-        .partitionBy("lang_pred")
-        .parquet(out_dir)
-    )
+    # Persist before the sizing count: without it the count() executes the
+    # full upstream pipeline once and the write executes it a second time.
+    kept.persist()
+    try:
+        n = kept.count()
+        shards = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+        (
+            kept.repartition(shards, F.xxhash64("url"))
+            .write.mode("overwrite")
+            .partitionBy("lang_pred")
+            .parquet(out_dir)
+        )
+    finally:
+        kept.unpersist()

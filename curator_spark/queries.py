@@ -52,9 +52,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # SQL fragment shared by the text oracles: whitespace tokens of trimmed text.
+# Explicit char class, not '\s+': RE2's \s excludes vertical tab (\x0B) which
+# Java's \s and the python oracle's _WS_RE include — the explicit class keeps
+# all three engines bit-identical on \x0B-bearing documents.
 _SQL_TOKS = (
     "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') END"
 )
 
 

@@ -38,6 +38,22 @@ def test_pipeline_matches_oracle(result, golden):
     assert [list(x) for x in res["drop_rules"]] == list(gold["drop_rules"])
 
 
+def test_repartition_path_matches_fused(result, pages_df):
+    """The salted-repartition plan (extract -> narrow shuffle -> score) must
+    produce exactly the same rows as the shuffle-free fused plan."""
+    rep = (
+        quality_filter(pages_df, repartition_to=8)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(rep.columns) == list(result.columns)
+    for col in ("url", "extracted_text", "scrubbed_text", "lang_pred", "score", "keep"):
+        assert list(rep[col]) == list(result[col]), col
+    assert rep["perplexity"].tolist() == result["perplexity"].tolist()
+    assert [list(x) for x in rep["drop_rules"]] == [list(x) for x in result["drop_rules"]]
+
+
 def test_keep_drop_f1(result, golden):
     res = result
     gold = golden.sort_values("url").reset_index(drop=True)

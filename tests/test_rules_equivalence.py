@@ -67,6 +67,26 @@ def test_langid_matches_naive_vote(corpus):
         assert rules.langid(t) == naive(t), t[:80]
 
 
+def test_lm_batch_matches_per_row(corpus):
+    """The concatenated-batch scorer must be BIT-identical to per-row
+    perplexity (same lp slices, same pairwise mean)."""
+    lm = get_lm()
+    batch = lm.perplexities(corpus)
+    per_row = [lm.perplexity(t) for t in corpus]
+    assert batch.tolist() == per_row
+    # sub-batching boundary: force multiple 2M-char chunks
+    wide = [t * 50 for t in corpus[:40] if t] + corpus
+    assert lm.perplexities(wide).tolist() == [lm.perplexity(t) for t in wide]
+
+
+def test_lm_surrogates_score_as_oov():
+    """Lone surrogates (surrogateescape-decoded input) must score, not crash."""
+    lm = get_lm()
+    s = "abc \udcff def normal text here"
+    assert lm.perplexity(s) > 0.0
+    assert lm.perplexities([s, "plain"]).tolist() == [lm.perplexity(s), lm.perplexity("plain")]
+
+
 def test_lm_encoder_matches_char_dict(corpus):
     lm = get_lm()
     for t in corpus:
