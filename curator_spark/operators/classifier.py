@@ -52,6 +52,41 @@ def train_ridge(features: np.ndarray, labels: np.ndarray, l2: float = 1e-6) -> n
     return np.linalg.solve(a, xb.T @ y)
 
 
+def fit_distributed(scored: DataFrame, l2: float = 1e-6, label_col: str = "score") -> np.ndarray:
+    """Closed-form ridge fit as ONE distributed aggregation — the scale path
+    (the reference trains driver-side on a collected corpus,
+    train_classifier.py:49-63; at 100 TB that is the whole corpus through
+    one process). X'X and X'y over 0/1 feature columns are integer sums, so
+    the d(d+1)/2 + d aggregate values are exact under any shuffle order and
+    the solved weights are BIT-IDENTICAL to a single-node fit on the same
+    rows (tests pin this against ``fit_on_golden``). One tiny row reaches
+    the driver; the 11x11 solve is microseconds."""
+    cols = [f"f_{name}" for name in rules.RULE_NAMES] + ["f_any_hard"]
+    aggs = []
+    for i, ci in enumerate(cols):
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum((F.col(ci) * F.col(cols[j])).cast("long")).alias(f"xx_{i}_{j}")
+            )
+        aggs.append(F.sum((F.col(ci) * F.col(label_col)).cast("long")).alias(f"xy_{i}"))
+    aggs.append(F.sum(F.col(label_col).cast("long")).alias("y_sum"))
+    aggs.append(F.count("*").alias("n"))
+    row = scored.agg(*aggs).first().asDict()
+    d = len(cols) + 1  # + bias
+    a = np.zeros((d, d))
+    b = np.zeros(d)
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            a[i, j] = a[j, i] = row[f"xx_{i}_{j}"] or 0
+        # binary features: sum(ci * bias) == sum(ci) == sum(ci*ci)
+        a[i, d - 1] = a[d - 1, i] = row[f"xx_{i}_{i}"] or 0
+        b[i] = row[f"xy_{i}"] or 0
+    a[d - 1, d - 1] = row["n"]
+    b[d - 1] = row["y_sum"] or 0
+    a += l2 * np.eye(d)
+    return np.linalg.solve(a, b)
+
+
 def fit_on_golden(golden: pd.DataFrame) -> np.ndarray:
     """Train from oracle golden labels (the reference trains on LLM scores;
     our deterministic stand-in trains on the oracle's scores)."""

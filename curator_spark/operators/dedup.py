@@ -94,8 +94,17 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     w: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a<b) sharing >=1 LSH band.
+
+    ``max_bucket_size`` caps the in-bucket self-join: a band bucket of B
+    docs yields B^2/2 pairs, so one boilerplate bucket can dominate the
+    whole job — buckets over the cap are DROPPED (they are exact-dup
+    territory; compose ``exact_dedup`` upstream, as
+    ``minhash_jaccard_dedup`` does). Enforced with a window count on the
+    band key — same shuffle the self-join needs anyway, no extra exchange.
+    None = exact LSH semantics (the oracle-checked contract).
 
     Physical plan — deliberately explode-based so every hot expression stays
     in whole-stage codegen (higher-order functions are interpreted in Spark;
@@ -137,6 +146,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).dropDuplicates(["id", "band"])
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count("*").over(Window.partitionBy("band"))
+        banded = (
+            banded.withColumn("_bn", bucket_n)
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

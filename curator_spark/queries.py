@@ -411,12 +411,21 @@ def q_simhash_docs(spark, sf_dir):
 
 @_register("minhash_jaccard_dedup")  # composition == production scale path
 def q_minhash_jaccard_dedup(spark, sf_dir):
-    """The near-dup scale path: LSH candidate generation, then exact Jaccard
-    verification restricted to candidates (|candidates| joins, never n^2).
-    Rows-only here; the two component operators are oracle-checked above."""
+    """The near-dup scale path, fully composed: exact-dedup first (so
+    byte-identical boilerplate collapses to one representative and can never
+    flood an LSH bucket), LSH candidate generation with a hot-bucket cap
+    (any bucket the cap still catches is dropped, not exploded into B^2/2
+    pairs), then exact Jaccard verification restricted to candidates
+    (|candidates| joins, never n^2). Rows-only here; the component
+    operators are oracle-checked above."""
     docs = _t(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, w=3)
-    return dedup.ngram_jaccard_pairs(docs, pairs=cand, w=3, threshold=0.5)
+    survivors = docs.join(
+        dedup.exact_dedup(docs).select("doc_id"), "doc_id", "left_semi"
+    )
+    cand = dedup.minhash_lsh_candidates(
+        survivors, num_hashes=8, bands=4, w=3, max_bucket_size=200
+    )
+    return dedup.ngram_jaccard_pairs(survivors, pairs=cand, w=3, threshold=0.5)
 
 
 # ===========================================================================
@@ -1024,19 +1033,20 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
-@_register("classifier_predict")  # train-on-oracle + distributed apply
+@_register("classifier_predict")  # distributed train + distributed apply
 def q_classifier_predict(spark, sf_dir):
     """P11: batched classifier inference (train_classifier.py/predict.py
-    analog) — ridge fit on the single-node oracle labels, applied as an
+    analog) — ridge fit via ONE distributed X'X/X'y aggregation over the
+    pipeline's own scores (bit-identical weights to a single-node fit on
+    golden labels: integer normal equations, see classifier.fit_distributed;
+    nothing corpus-sized ever touches the driver), applied as an
     Arrow-batched UDF over native rule-flag features."""
-    from .datagen import build_pages_pdf
     from .operators import classifier as clf
-    from .oracle import golden_labels
     from .plans.pipeline import quality_filter
     from .sources.tables import load_pages
 
-    weights = clf.fit_on_golden(golden_labels(build_pages_pdf(sf_dir)))
     scored = clf.feature_stage(quality_filter(load_pages(spark, sf_dir)))
+    weights = clf.fit_distributed(scored)
     return clf.apply_model(scored, weights).select("url", "pred_score", "pred_keep")
 
 

@@ -27,6 +27,14 @@ def test_f1_gate(spark, scored, golden):
     assert f1 >= 0.99, f"classifier keep/drop F1 {f1} below acceptance gate"
 
 
+def test_distributed_fit_matches_single_node(scored, golden):
+    """The X'X/X'y aggregation fit must be BIT-identical to the driver-side
+    fit on golden labels (integer normal equations, same solve)."""
+    w_dist = clf.fit_distributed(scored)
+    w_gold = clf.fit_on_golden(golden)
+    assert w_dist.tolist() == w_gold.tolist()
+
+
 def test_hard_rules_force_drop(scored, golden):
     weights = clf.fit_on_golden(golden)
     pred = clf.apply_model(scored, weights)

@@ -63,6 +63,31 @@ def test_jaccard_on_candidates_matches_python(docs_df):
     assert any(r.jaccard == 1.0 for r in out)  # the exact dup pair
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """Adversarial boilerplate: N identical pages share every band, so the
+    uncapped in-bucket self-join emits ~N^2/2 pairs; the cap drops the hot
+    buckets, and exact-dedup upstream collapses them to one representative."""
+    n = 300
+    boiler = "subscribe to our newsletter for daily updates and exclusive offers today"
+    rows = [(i, boiler) for i in range(n)] + [
+        (n, "a unique document about spark window functions and state stores"),
+        (n + 1, "another unique document covering arrow batches and codegen stages"),
+        (n + 2, boiler + " with one extra tail clause appended here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_candidates(df).count()
+    assert uncapped >= n * (n - 1) // 2  # the blow-up being defused
+    capped = dedup.minhash_lsh_candidates(df, max_bucket_size=50).count()
+    assert capped <= 10
+    # full scale-path composition: exact-dedup first, then capped LSH
+    survivors = df.join(dedup.exact_dedup(df).select("doc_id"), "doc_id", "left_semi")
+    assert survivors.count() == 4
+    comp = dedup.minhash_lsh_candidates(survivors, max_bucket_size=50)
+    pairs = {(r.id_a, r.id_b) for r in comp.collect()}
+    assert (0, n + 2) in pairs  # the boilerplate variant still found
+    assert len(pairs) <= 6
+
+
 def test_simhash_properties(docs_df):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
     assert sh[0] == sh[3]  # identical text -> identical simhash
