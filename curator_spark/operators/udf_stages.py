@@ -117,6 +117,7 @@ _FUSED_SCHEMA = StructType(
     [
         StructField("extracted_text", StringType()),
         StructField("text_t", StringType()),
+        StructField("error", StringType()),  # per-row extract error tag (K3)
         StructField("lang_pred", StringType()),
         StructField("lang_conf", DoubleType()),
         StructField("perplexity", DoubleType()),
@@ -156,17 +157,42 @@ def _score_texts(trunc: list[str]) -> pd.DataFrame:
 
 @F.pandas_udf(_FUSED_SCHEMA)
 def _fused_udf(html: pd.Series) -> pd.DataFrame:
-    extracted = [rules.extract_text(h) for h in html]
+    st = [rules.extract_status(h) for h in html]
+    extracted = [s[0] for s in st]
     trunc = [e[: rules.TRUNCATE_CHARS] for e in extracted]  # score.py:104 parity
     out = _score_texts(trunc)
     out.insert(0, "extracted_text", extracted)
     out.insert(1, "text_t", trunc)
+    out.insert(2, "error", [s[1] for s in st])
     return out[_FUSED_SCHEMA.fieldNames()]
 
 
-def fused_score_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
-    """html -> all model-derived columns in ONE pandas UDF call."""
-    fused = _fused_udf(F.col(html_col))
+@F.pandas_udf(_FUSED_SCHEMA)
+def _fused_params_udf(html: pd.Series, params: pd.Series) -> pd.DataFrame:
+    """Fused scoring with a per-row generation-params override: the params
+    JSON column drives the truncation operator (prompt_formatter.py:108-117
+    semantics — row config overrides the stage default)."""
+    st = [rules.extract_status(h) for h in html]
+    extracted = [s[0] for s in st]
+    trunc = [e[: rules.truncate_limit(p)] for e, p in zip(extracted, params)]
+    out = _score_texts(trunc)
+    out.insert(0, "extracted_text", extracted)
+    out.insert(1, "text_t", trunc)
+    out.insert(2, "error", [s[1] for s in st])
+    return out[_FUSED_SCHEMA.fieldNames()]
+
+
+def fused_score_stage(
+    df: DataFrame, html_col: str = "html", params_col: str | None = None
+) -> DataFrame:
+    """html -> all model-derived columns in ONE pandas UDF call.
+
+    ``params_col``: optional per-row generation-params JSON column; its
+    ``truncate`` key overrides TRUNCATE_CHARS row by row."""
+    if params_col is None:
+        fused = _fused_udf(F.col(html_col))
+    else:
+        fused = _fused_params_udf(F.col(html_col), F.col(params_col))
     df = df.withColumn("_m", fused)
     for f in _FUSED_SCHEMA.fieldNames():
         df = df.withColumn(f, F.col("_m")[f])
@@ -183,15 +209,21 @@ _EXTRACT_SCHEMA = StructType(
     [
         StructField("extracted_text", StringType()),
         StructField("text_t", StringType()),
+        StructField("error", StringType()),
     ]
 )
 
 
 @F.pandas_udf(_EXTRACT_SCHEMA)
 def _extract_truncate_udf(html: pd.Series) -> pd.DataFrame:
-    extracted = [rules.extract_text(h) for h in html]
+    st = [rules.extract_status(h) for h in html]
+    extracted = [s[0] for s in st]
     return pd.DataFrame(
-        {"extracted_text": extracted, "text_t": [e[: rules.TRUNCATE_CHARS] for e in extracted]}
+        {
+            "extracted_text": extracted,
+            "text_t": [e[: rules.TRUNCATE_CHARS] for e in extracted],
+            "error": [s[1] for s in st],
+        }
     )
 
 
@@ -200,10 +232,11 @@ def extract_truncate_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
     return (
         df.withColumn("extracted_text", e["extracted_text"])
         .withColumn("text_t", e["text_t"])
+        .withColumn("error", e["error"])
     )
 
 
-_TEXT_SCORE_SCHEMA = StructType(_FUSED_SCHEMA.fields[2:])
+_TEXT_SCORE_SCHEMA = StructType(_FUSED_SCHEMA.fields[3:])
 
 
 @F.pandas_udf(_TEXT_SCORE_SCHEMA)

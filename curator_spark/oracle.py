@@ -21,7 +21,7 @@ def golden_labels(pages: pd.DataFrame) -> pd.DataFrame:
     lm = get_lm()
     out = []
     for r in pages.itertuples(index=False):
-        extracted = rules.extract_text(r.html)
+        extracted, error = rules.extract_status(r.html)
         truncated = extracted[: rules.TRUNCATE_CHARS]
         lang_pred, lang_conf = rules.langid(truncated)
         ppl = lm.perplexity(truncated)
@@ -43,6 +43,7 @@ def golden_labels(pages: pd.DataFrame) -> pd.DataFrame:
                 "keep": keep,
                 "drop_rules": fired,
                 "scrubs": scrub_counts,
+                "error": error,
             }
         )
     return pd.DataFrame.from_records(out)

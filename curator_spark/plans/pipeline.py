@@ -46,6 +46,7 @@ OUTPUT_COLUMNS = [
     "drop_rules",
     "score",
     "keep",
+    "error",  # per-row extract error tag (null = ok) feeding the K3 quarantine
 ]
 
 
@@ -53,6 +54,7 @@ def quality_filter(
     pages: DataFrame,
     repartition_to: int | None = None,
     salt: str | None = None,
+    params_col: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> verdict table.
 
@@ -61,7 +63,16 @@ def quality_filter(
     text columns — raw html (10-50x wider than extracted text at web scale)
     never crosses the shuffle. Leave None for the fully fused, shuffle-free
     plan when the input scan layout is already uniform.
+
+    ``params_col``: optional per-row generation-params JSON column; its
+    ``truncate`` key overrides the stage's truncation row by row (P2
+    per-row-override semantics, prompt_formatter.py:108-117).
     """
+    if params_col is not None:
+        df = fused_score_stage(pages, params_col=params_col)
+        df = heuristics_stage(df, text_col="text_t")
+        df = verdict_stage(df)
+        return df.select(*OUTPUT_COLUMNS)
     if repartition_to:
         df = extract_truncate_stage(pages)  # Arrow boundary 1: html -> text
         df = df.drop("html", "text")  # narrow rows only through the wire

@@ -13,13 +13,18 @@ Re-expresses the reference's driver-side lifecycle on Spark:
   base_request_processor.py:252-270); each chunk's output is written to a
   staging dir then atomically renamed with a manifest — the parquet stand-in
   for an Iceberg snapshot commit (SURVEY.md §7 "Resume atomicity without
-  Iceberg"). At real scale chunks map to Iceberg partition predicates
-  (warc_ts date / url-hash bucket), so per-chunk scans prune instead of
-  rescanning.
+  Iceberg").
 - **Resume**: on rerun, committed chunks are skipped entirely; a partially
-  written chunk is invisible (staging never renamed) and recomputed. Row-level
+  written chunk is invisible (staging never renamed) and recomputed. ALL
+  missing chunks run as ONE job (never a scan per chunk), and with
+  ``chunk_input=True`` the input is staged partitioned-by-chunk so a resume
+  reads only the missing chunks' files — true scan pruning, the parquet
+  analog of Iceberg partition predicates on url-hash bucket. Row-level
   parity with the completed-ids anti-join (base_online_request_processor.py:
   332-336,354) comes free: chunk membership is a pure function of url.
+- **Failed-row quarantine**: rows with a per-row extract error commit into a
+  ``failed_rows`` table (url, warc_ts, error) partitioned by (run, chunk) —
+  the failed-requests sink analog (base_request_processor.py:459-488).
 - **Metrics + lineage**: per (run, chunk, spark partition) counter rows —
   docs seen/kept/dropped/scrubbed per rule — appended to a metrics table
   (analog of the status trackers, online_status_tracker.py:44-93).
@@ -59,6 +64,12 @@ class RunConfig:
     repartition_to: int | None = None
     salt: str = DEFAULT_SALT
     max_attempts: int = 3
+    # Stage the input partitioned by chunk before processing (one extra
+    # full-input write). Resume then READS ONLY the missing chunks' input
+    # files — true scan pruning, the parquet analog of Iceberg partition
+    # predicates on (url-hash bucket). Worth it when resumes/increments are
+    # expected; pure overhead for fire-and-forget runs.
+    chunk_input: bool = False
     extra: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
@@ -68,6 +79,7 @@ class RunConfig:
                 "num_chunks": self.num_chunks,
                 "repartition_to": self.repartition_to,
                 "salt": self.salt,
+                "chunk_input": self.chunk_input,
                 "extra": self.extra,
             },
             sort_keys=True,
@@ -110,16 +122,45 @@ def _staged_write(df: DataFrame, final_dir: str) -> None:
     os.rename(staging, final_dir)
 
 
-def _append_table(root: str, name: str, pdf: pd.DataFrame) -> None:
-    """Append-only driver-side table (metrics / runs catalog): one unique
-    parquet file per append, read back as a directory dataset."""
+def _ensure_chunked_input(
+    spark: SparkSession, config: "RunConfig", run_dir: str, pages: DataFrame, bucket
+) -> str:
+    """Stage the input partitioned by chunk (write-once, atomically
+    committed). Chunk membership is a computed column, so the raw input
+    offers NO scan-level pruning on resume; this one-time layout pass is the
+    parquet stand-in for an Iceberg table partitioned by url-hash bucket
+    (reference lifecycle analog: persisted request files reloaded per batch,
+    base_batch_request_processor.py:285-309)."""
+    root = os.path.join(run_dir, "input_chunked")
+    if not _is_committed(root):
+        staging = root + f".staging-{uuid.uuid4().hex[:8]}"
+        pages.withColumn("chunk", bucket).write.mode("overwrite").partitionBy(
+            "chunk"
+        ).parquet(staging)
+        for c in range(config.num_chunks):  # empty chunks still need a dir
+            os.makedirs(os.path.join(staging, f"chunk={c}"), exist_ok=True)
+        open(os.path.join(staging, "_SUCCESS"), "a").close()
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        os.rename(staging, root)
+    return root
+
+
+def _append_table(root: str, name: str, pdf: pd.DataFrame, filename: str | None = None) -> None:
+    """Append-only driver-side table (metrics / runs catalog): one parquet
+    file per append, read back as a directory dataset. A deterministic
+    ``filename`` makes the append IDEMPOTENT (a retry overwrites its own
+    earlier file instead of duplicating the row) — used for per-chunk
+    metrics so crash/retry can never double-count."""
     d = os.path.join(root, name)
     os.makedirs(d, exist_ok=True)
     pdf = pdf.copy()
     for col in pdf.columns:  # Spark's parquet reader rejects TIMESTAMP(NANOS)
         if str(pdf[col].dtype).startswith("datetime64[ns"):
             pdf[col] = pdf[col].astype("datetime64[us, UTC]")
-    pdf.to_parquet(os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"), index=False)
+    pdf.to_parquet(
+        os.path.join(d, filename or f"part-{uuid.uuid4().hex}.parquet"), index=False
+    )
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
@@ -133,6 +174,26 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
 _SCRUB_RULES = ("email", "phone", "ip", "ssn", "toxicity")
 
 
+def _catalog_event(config: "RunConfig", run_id: str, status: str) -> None:
+    """One lifecycle row in the runs catalog (STARTED | COMPLETED | FAILED |
+    CANCELLED — the batch state machine analog, batch_status_tracker.py:62-66)."""
+    _append_table(
+        config.output_root,
+        "runs_catalog",
+        pd.DataFrame(
+            [
+                {
+                    "run_id": run_id,
+                    "input_snapshot": config.input_path,
+                    "config_json": config.to_json(),
+                    "status": status,
+                    "event_time": datetime.now(timezone.utc),
+                }
+            ]
+        ),
+    )
+
+
 def _chunk_metrics(out: DataFrame, run_id: str, chunk: int, wall_ms: int) -> pd.DataFrame:
     """Per-spark-partition counters over the committed chunk output."""
     aggs = [
@@ -140,6 +201,7 @@ def _chunk_metrics(out: DataFrame, run_id: str, chunk: int, wall_ms: int) -> pd.
         F.sum(F.col("keep").cast("long")).alias("docs_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("docs_dropped"),
         F.sum((F.size("drop_rules") > 0).cast("long")).alias("docs_flagged"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("docs_failed"),
     ]
     for r in _rules_mod.RULE_NAMES:
         aggs.append(
@@ -183,21 +245,7 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
     if os.path.exists(manifest_path):  # cache probe: whole-run memoization
         return RunResult(run_id, run_dir, cache_hit=True, chunks_run=0, chunks_skipped=config.num_chunks)
 
-    _append_table(
-        config.output_root,
-        "runs_catalog",
-        pd.DataFrame(
-            [
-                {
-                    "run_id": run_id,
-                    "input_snapshot": config.input_path,
-                    "config_json": config.to_json(),
-                    "status": "STARTED",
-                    "event_time": datetime.now(timezone.utc),
-                }
-            ]
-        ),
-    )
+    _catalog_event(config, run_id, "STARTED")
 
     pages = spark.read.parquet(config.input_path)
     # chunk membership = pure function of url -> stable across reruns/retries
@@ -207,89 +255,103 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
     chunks_skipped = config.num_chunks - len(missing)
     chunks_run = 0
 
-    def _commit_metrics(chunk: int, wall_ms: int) -> None:
-        committed = spark.read.parquet(_chunk_dir(run_dir, chunk))
+    def _commit_metrics(chunk: int, data_dir: str, wall_ms: int) -> None:
+        # deterministic filename -> idempotent under retries (exactly one
+        # metrics row per (run, chunk) no matter how many attempts ran)
+        data = spark.read.parquet(data_dir)
         _append_table(
-            config.output_root, "metrics", _chunk_metrics(committed, run_id, chunk, wall_ms)
+            config.output_root,
+            "metrics",
+            _chunk_metrics(data, run_id, chunk, wall_ms),
+            filename=f"part-{run_id}-c{chunk}.parquet",
         )
 
     def _fail_catalog() -> None:
-        _append_table(
-            config.output_root,
-            "runs_catalog",
-            pd.DataFrame(
-                [
-                    {
-                        "run_id": run_id,
-                        "input_snapshot": config.input_path,
-                        "config_json": config.to_json(),
-                        "status": "FAILED",
-                        "event_time": datetime.now(timezone.utc),
-                    }
-                ]
-            ),
+        _catalog_event(config, run_id, "FAILED")
+
+    def _commit_failed_rows(chunk: int, data_dir: str) -> None:
+        """K3 quarantine: rows whose extract failed land in a persisted
+        ``failed_rows`` table a user can inspect and re-drive (analog of the
+        failed-requests sink, base_request_processor.py:459-488). Hive-style
+        (run_id, chunk) subdir + overwrite mode -> idempotent under retries."""
+        data = spark.read.parquet(data_dir)
+        (
+            data.filter(F.col("error").isNotNull())
+            .select("url", "warc_ts", "error")
+            .write.mode("overwrite")
+            .parquet(
+                os.path.join(
+                    config.output_root, "failed_rows", f"run_id={run_id}", f"chunk={chunk}"
+                )
+            )
         )
 
-    if len(missing) == config.num_chunks:
-        # Fresh run: ONE job over the whole input, output partitioned by
-        # chunk, then per-chunk atomic promotion. The per-chunk fallback
-        # below would scan the full input once per chunk (the chunk id is a
-        # computed column, so no scan-level pruning is possible) — at 100 TB
-        # that is num_chunks full scans; this path scans exactly once.
-        attempt = 0
-        while True:
-            attempt += 1
-            try:
-                t0 = time.monotonic()
-                out = _pipeline_mod.quality_filter(
-                    pages, repartition_to=config.repartition_to, salt=config.salt
-                ).withColumn("chunk", bucket)
-                staging = os.path.join(run_dir, f"all.staging-{uuid.uuid4().hex[:8]}")
-                out.write.mode("overwrite").partitionBy("chunk").parquet(staging)
-                wall_ms = int((time.monotonic() - t0) * 1000)
-                for chunk in range(config.num_chunks):
-                    src = os.path.join(staging, f"chunk={chunk}")
-                    cdir = _chunk_dir(run_dir, chunk)
-                    if not os.path.isdir(src):  # empty chunk: commit empty dir
-                        os.makedirs(src, exist_ok=True)
-                        # write an empty parquet so readers see the schema
-                        spark.createDataFrame([], out.drop("chunk").schema).write.mode(
-                            "overwrite"
-                        ).parquet(src)
-                    open(os.path.join(src, "_SUCCESS"), "a").close()
-                    if os.path.exists(cdir):
-                        shutil.rmtree(cdir)
-                    os.rename(src, cdir)
-                    _commit_metrics(chunk, wall_ms // config.num_chunks)
-                    chunks_run += 1
-                shutil.rmtree(staging, ignore_errors=True)
-                break
-            except Exception:
-                if attempt >= config.max_attempts:
-                    _fail_catalog()
-                    raise
-        missing = []
-
-    for chunk in missing:
-        # Resume path: recompute only the missing chunks (bounded rescans).
-        cdir = _chunk_dir(run_dir, chunk)
-        attempt = 0
-        while True:
-            attempt += 1
-            try:
-                t0 = time.monotonic()
-                part = pages.filter(bucket == chunk)
-                out = _pipeline_mod.quality_filter(
-                    part, repartition_to=config.repartition_to, salt=config.salt
+    # ONE job per attempt covering EVERY missing chunk (fresh run = all of
+    # them): output partitioned by chunk, then per-chunk atomic promotion.
+    # Per-chunk jobs would scan the input once per chunk — at 100 TB that is
+    # num_chunks full scans. The missing list is recomputed from committed
+    # state at the top of every attempt, so a retry after a partial
+    # promotion never re-runs, re-promotes, or double-counts a chunk that
+    # already committed (idempotent metrics/quarantine appends).
+    attempt = 0
+    while True:
+        missing = [
+            c for c in range(config.num_chunks) if not _is_committed(_chunk_dir(run_dir, c))
+        ]
+        if not missing:
+            break
+        attempt += 1
+        try:
+            t0 = time.monotonic()
+            if config.chunk_input:
+                # scan pruning: read ONLY the missing chunks' input files
+                in_root = _ensure_chunked_input(spark, config, run_dir, pages, bucket)
+                dirs = [
+                    d
+                    for c in missing
+                    for d in [os.path.join(in_root, f"chunk={c}")]
+                    if any(f.endswith(".parquet") for f in os.listdir(d))
+                ]
+                src = (
+                    spark.read.option("basePath", in_root).parquet(*dirs).drop("chunk")
+                    if dirs
+                    else spark.createDataFrame([], pages.schema)
                 )
-                _staged_write(out, cdir)
-                _commit_metrics(chunk, int((time.monotonic() - t0) * 1000))
+            elif len(missing) == config.num_chunks:
+                src = pages  # fresh run: exactly one full scan, no predicate
+            else:
+                src = pages.filter(bucket.isin([int(c) for c in missing]))
+            out = _pipeline_mod.quality_filter(
+                src, repartition_to=config.repartition_to, salt=config.salt
+            ).withColumn("chunk", bucket)
+            staging = os.path.join(run_dir, f"all.staging-{uuid.uuid4().hex[:8]}")
+            out.write.mode("overwrite").partitionBy("chunk").parquet(staging)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            for chunk in missing:
+                src_dir = os.path.join(staging, f"chunk={chunk}")
+                cdir = _chunk_dir(run_dir, chunk)
+                if not os.path.isdir(src_dir):  # empty chunk: commit empty dir
+                    os.makedirs(src_dir, exist_ok=True)
+                    # write an empty parquet so readers see the schema
+                    spark.createDataFrame([], out.drop("chunk").schema).write.mode(
+                        "overwrite"
+                    ).parquet(src_dir)
+                # metrics + quarantine from staging FIRST (both idempotent),
+                # THEN the atomic rename — the rename is the single commit
+                # point, so a chunk can never be committed without its
+                # metrics, and a retry overwrites rather than duplicates
+                _commit_metrics(chunk, src_dir, wall_ms // len(missing))
+                _commit_failed_rows(chunk, src_dir)
+                open(os.path.join(src_dir, "_SUCCESS"), "a").close()
+                if os.path.exists(cdir):
+                    shutil.rmtree(cdir)
+                os.rename(src_dir, cdir)
                 chunks_run += 1
-                break
-            except Exception:
-                if attempt >= config.max_attempts:
-                    _fail_catalog()
-                    raise
+            shutil.rmtree(staging, ignore_errors=True)
+        except Exception:
+            if attempt >= config.max_attempts:
+                _fail_catalog()
+                raise
 
     # require_all check (config.py:30 semantics): every chunk committed
     missing = [c for c in range(config.num_chunks) if not _is_committed(_chunk_dir(run_dir, c))]
@@ -308,21 +370,7 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
         )
     os.rename(manifest_path + ".tmp", manifest_path)
 
-    _append_table(
-        config.output_root,
-        "runs_catalog",
-        pd.DataFrame(
-            [
-                {
-                    "run_id": run_id,
-                    "input_snapshot": config.input_path,
-                    "config_json": config.to_json(),
-                    "status": "COMPLETED",
-                    "event_time": datetime.now(timezone.utc),
-                }
-            ]
-        ),
-    )
+    _catalog_event(config, run_id, "COMPLETED")
     return RunResult(run_id, run_dir, cache_hit=False, chunks_run=chunks_run, chunks_skipped=chunks_skipped)
 
 
@@ -350,6 +398,24 @@ def run_incremental(
     if os.path.exists(manifest_path):
         return RunResult(run_id, run_dir, True, 0, config.num_chunks)
 
+    # same lifecycle-audit records as a fresh run — downstream consumers and
+    # the catalog genuinely cannot tell the difference
+    _catalog_event(config, run_id, "STARTED")
+    try:
+        return _run_incremental_body(spark, config, prior, run_id, run_dir, manifest_path)
+    except Exception:
+        _catalog_event(config, run_id, "FAILED")
+        raise
+
+
+def _run_incremental_body(
+    spark: SparkSession,
+    config: RunConfig,
+    prior: RunResult,
+    run_id: str,
+    run_dir: str,
+    manifest_path: str,
+) -> RunResult:
     pages = spark.read.parquet(config.input_path)
     done_urls = load_output(spark, prior).select("url")
     remainder = pages.join(done_urls, "url", "left_anti")
@@ -399,7 +465,18 @@ def run_incremental(
             f,
         )
     os.rename(manifest_path + ".tmp", manifest_path)
+    _catalog_event(config, run_id, "COMPLETED")
     return RunResult(run_id, run_dir, False, config.num_chunks, 0)
+
+
+def cancel_run(config: RunConfig) -> str:
+    """Mark an in-flight run CANCELLED in the catalog (batch-cancel analog,
+    llm.py:236-244 / base_batch_request_processor.py:739-754). Committed
+    chunks stay on disk — a later run of the same fingerprint resumes from
+    them; the catalog records that this attempt was aborted deliberately."""
+    run_id = run_fingerprint(config)
+    _catalog_event(config, run_id, "CANCELLED")
+    return run_id
 
 
 def metrics_summary(spark: SparkSession, output_root: str, run_id: str | None = None) -> DataFrame:

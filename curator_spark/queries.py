@@ -956,6 +956,56 @@ def q_json_params(spark, sf_dir):
 
 
 @_register(
+    "params_truncate",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN '{"truncate": 64}'
+                  WHEN doc_id % 3 = 1 THEN '{"truncate": 0}'
+                  ELSE NULL END AS gen_params
+      FROM documents),
+    k AS (
+      SELECT doc_id, text, gen_params,
+             CAST(least(greatest(coalesce(
+               CAST(json_extract_string(gen_params, '$.truncate') AS INTEGER), 10000), 1),
+               10000) AS BIGINT) AS eff_limit
+      FROM p)
+    SELECT doc_id, gen_params, eff_limit,
+           substr(text, 1, eff_limit) AS truncated,
+           length(substr(text, 1, eff_limit)) AS trunc_len
+    FROM k
+    """,
+)
+def q_params_truncate(spark, sf_dir):
+    """P2 per-row generation-params DRIVING an operator: a JSON params
+    column's ``truncate`` key overrides the truncation length row by row
+    (invalid values clamp, missing params default) — the oracle-checkable
+    twin of the pipeline's ``params_col`` path
+    (prompt_formatter.py:108-117 semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    gen = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit('{"truncate": 64}'))
+        .when(F.col("doc_id") % 3 == 1, F.lit('{"truncate": 0}'))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    k = F.get_json_object(F.col("gen_params"), "$.truncate").cast("int")
+    eff = F.least(F.greatest(F.coalesce(k, F.lit(10000)), F.lit(1)), F.lit(10000))
+    return (
+        d.withColumn("gen_params", gen)
+        .withColumn("eff_limit", eff.cast("long"))
+        .select(
+            "doc_id",
+            "gen_params",
+            "eff_limit",
+            F.substring(F.col("text"), 1, F.col("eff_limit").cast("int")).alias("truncated"),
+            F.length(F.substring(F.col("text"), 1, F.col("eff_limit").cast("int")))
+            .cast("long")
+            .alias("trunc_len"),
+        )
+    )
+
+
+@_register(
     "binary_meta",
     """
     SELECT doc_id,
@@ -1016,20 +1066,46 @@ def q_perplexity_udf(spark, sf_dir):
     return perplexity_stage(d, text_col="text").select("doc_id", "perplexity")
 
 
-@_register("sessionize_events")  # tz-sensitive epochs -> rows-only; the
-# streaming twin is verified exactly in tests/test_sessionize.py
+@_register(
+    "sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM e)
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (batch twin of the stateful streaming
-    operator, streaming/sessionize.py)."""
-    from .streaming.sessionize import sessionize_batch
+    operator, streaming/sessionize.py). Oracle-exact: session bounds emitted
+    as epoch-MICROSECOND bigints (tz-independent), value sums through exact
+    DECIMAL — bit-stable under any shuffle/order; (user_id, ts) is unique in
+    the fixture so the window order is deterministic."""
+    from .streaming.sessionize import sessionize_ids
 
-    out = sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
-    return out.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
-        F.col("total_value").cast("decimal(18,4)").cast("double").alias("total_value"),
+    s = sessionize_ids(_t(spark, sf_dir, "events"), gap_seconds=1800)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
+        )
+        .drop("session_id")
     )
 
 

@@ -49,21 +49,33 @@ def tokens(text: str) -> list[str]:
 _P_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
 
 
-def extract_text(html_bytes: bytes | None) -> str:
-    """Extract main text: content of the first <p>...</p> element.
+def extract_status(html_bytes: bytes | None) -> tuple[str, str | None]:
+    """Extract main text with per-row error capture: (text, error_tag).
 
-    Returns "" for undecodable/markerless documents (counted, not failed —
-    parity with per-row error capture, /root/reference/src/bespokelabs/curator/
-    llm/prompt_formatter.py:129-195).
+    error_tag is None on success, else one of 'null_html' | 'decode_error' |
+    'no_marker' — the analog of curator's per-row error rows
+    (/root/reference/src/bespokelabs/curator/llm/prompt_formatter.py:129-195,
+    request_processor/base_request_processor.py:534-558). Failed rows score
+    as empty text (the len rule drops them) AND carry the tag so the runner
+    can quarantine them into a failed-rows table (K3).
     """
     if html_bytes is None:
-        return ""
+        return "", "null_html"
     try:
         html = bytes(html_bytes).decode("utf-8")
     except UnicodeDecodeError:
-        return ""
+        return "", "decode_error"
     m = _P_RE.search(html)
-    return m.group(1) if m else ""
+    if m is None:
+        return "", "no_marker"
+    return m.group(1), None
+
+
+def extract_text(html_bytes: bytes | None) -> str:
+    """Extract main text: content of the first <p>...</p> element ("" for
+    undecodable/markerless documents — see extract_status for the tagged
+    variant)."""
+    return extract_status(html_bytes)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +277,25 @@ MAX_DUP_WORD_FRAC = 0.90
 MAX_PERPLEXITY = 22.0  # calibrated: clean/marker pages <= ~21, gibberish >= ~24
 MIN_LANG_CONF = 0.05
 TRUNCATE_CHARS = 10_000  # parity: input['text'][:10_000], score.py:104
+
+
+def truncate_limit(params_json: str | None) -> int:
+    """Per-row truncation override from a generation-params JSON column
+    (P2 analog: per-row params override request construction,
+    /root/reference/src/bespokelabs/curator/llm/prompt_formatter.py:108-117).
+    Missing/invalid params fall back to the global default; values clamp to
+    [1, TRUNCATE_CHARS]. Pure function — safe under reshuffle/retry."""
+    if not params_json:
+        return TRUNCATE_CHARS
+    try:
+        import json as _json
+
+        k = _json.loads(params_json).get("truncate")
+    except (ValueError, AttributeError):
+        return TRUNCATE_CHARS
+    if not isinstance(k, int) or isinstance(k, bool):
+        return TRUNCATE_CHARS
+    return max(1, min(k, TRUNCATE_CHARS))
 
 # ASCII punctuation/symbols only — non-Latin *letters* (CJK, Arabic) must not
 # count as symbols or the rule penalizes every non-English page.

@@ -137,21 +137,29 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS,
     )
 
 
-def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
-    """Batch twin (semantic spec): session id = cumulative count of gap
-    breaks per user, via lag + running sum windows."""
+def sessionize_ids(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Per-event session assignment: session id = cumulative count of gap
+    breaks per user, via lag + running sum windows. Gap compares MICROSECOND
+    epochs — the exact unit the streaming operator folds on — so batch and
+    stream agree even when a gap crosses the threshold inside one second."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    # NTZ timestamps don't cast to long directly; go via TIMESTAMP (UTC)
-    sec = F.col("ts").cast("timestamp").cast("long")
-    gap = sec - F.lag(sec).over(w)
+    # NTZ timestamps don't cast to micros directly; go via TIMESTAMP (UTC)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
     marked = events.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0),
     )
     sid = F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return marked.withColumn("session_id", sid)
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Batch twin (semantic spec of the streaming operator)."""
     return (
-        marked.withColumn("session_id", sid)
+        sessionize_ids(events, gap_seconds)
         .groupBy("user_id", "session_id")
         .agg(
             F.min("ts").alias("session_start"),

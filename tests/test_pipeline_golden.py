@@ -79,6 +79,41 @@ def test_content_classes_exercised(golden):
         assert scrubs[rule].sum() > 0, f"scrub rule {rule} never fired"
 
 
+def test_params_col_drives_truncation(pages_df):
+    """Per-row generation-params JSON overrides the truncation operator
+    inside the fused stage (P2 semantics): text_t length obeys each row's
+    own config, and rows without params keep the global default."""
+    from pyspark.sql import functions as F
+
+    from curator_spark import rules
+
+    with_params = pages_df.withColumn(
+        "gen_params",
+        F.when(F.xxhash64("url") % 2 == 0, F.lit('{"truncate": 25}')).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+    from curator_spark.operators.udf_stages import fused_score_stage
+
+    stage = fused_score_stage(with_params, params_col="gen_params").select(
+        "url", "gen_params", "extracted_text", "text_t"
+    ).toPandas()
+    for r in stage.itertuples(index=False):
+        limit = rules.truncate_limit(r.gen_params)
+        assert r.text_t == r.extracted_text[:limit], r.url
+    overridden = stage[stage["gen_params"].notna()]
+    assert (overridden["text_t"].str.len() <= 25).all() and len(overridden) > 0
+    # end-to-end: the override propagates through the full verdict plan
+    out = (
+        quality_filter(with_params, params_col="gen_params")
+        .join(with_params.select("url", "gen_params"), "url")
+        .select("url", "gen_params", "n_chars", "extracted_text")
+        .toPandas()
+    )
+    for r in out.itertuples(index=False):
+        assert r.n_chars == len(r.extracted_text[: rules.truncate_limit(r.gen_params)])
+
+
 def test_export_corpus_roundtrip(spark, pages_df, golden, tmp_path):
     """K4 publish analog: kept pages exported as a lang-partitioned sharded
     corpus; read-back equals the golden keep set exactly."""

@@ -73,6 +73,135 @@ def test_crash_resume_skips_committed(spark, pages_path, tmp_path, golden):
     assert len(out) == len(golden) and out["url"].is_unique
 
 
+def test_quarantine_and_failed_metric(spark, tmp_path, golden):
+    """K3/F2: rows whose extract fails land in a persisted failed_rows table
+    with error tags (and count into docs_failed), without failing the job."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.datagen import PAGES_SCHEMA, build_pages_pdf
+
+    pdf = build_pages_pdf("/root/testdata/sf0.001").iloc[:100].copy()
+    bad = pd.DataFrame(
+        [
+            {"url": "https://bad.example/undecodable", "warc_ts": pdf["warc_ts"].iloc[0],
+             "html": b"\xff\xfe\xfa broken", "text": "", "lang": "en"},
+            {"url": "https://bad.example/markerless", "warc_ts": pdf["warc_ts"].iloc[1],
+             "html": b"<html><body>no paragraph marker</body></html>", "text": "", "lang": "en"},
+            {"url": "https://bad.example/nullhtml", "warc_ts": pdf["warc_ts"].iloc[2],
+             "html": None, "text": "", "lang": "en"},
+        ]
+    )
+    src = tmp_path / "in_bad"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat([pdf, bad], ignore_index=True), schema=PAGES_SCHEMA,
+                             preserve_index=False),
+        str(src / "a.parquet"),
+    )
+    cfg = R.RunConfig(input_path=str(src), output_root=str(tmp_path / "outq"), num_chunks=2)
+    res = R.run_quality_filter(spark, cfg)
+    failed = R.read_table(spark, cfg.output_root, "failed_rows").toPandas()
+    tags = dict(zip(failed["url"], failed["error"]))
+    assert tags == {
+        "https://bad.example/undecodable": "decode_error",
+        "https://bad.example/markerless": "no_marker",
+        "https://bad.example/nullhtml": "null_html",
+    }
+    assert (failed["run_id"] == res.run_id).all()
+    metrics = R.read_table(spark, cfg.output_root, "metrics").toPandas()
+    assert metrics["docs_failed"].sum() == 3
+    # failed rows are still verdict rows (dropped by the len rule), not lost
+    out = R.load_output(spark, res).toPandas()
+    assert len(out) == 103
+    assert not out[out["url"].str.startswith("https://bad.example/")]["keep"].any()
+
+
+def test_resume_prunes_input_scan(spark, pages_path, tmp_path, monkeypatch):
+    """With chunk_input staging, a resume must read ONLY the missing chunks'
+    input files (scan pruning — the Iceberg-partition analog), and exactly
+    one pipeline job must cover all missing chunks."""
+    import shutil
+
+    cfg = _config(pages_path, tmp_path / "outp", chunk_input=True)
+    run_id = R.run_fingerprint(cfg)
+    run_dir = os.path.join(cfg.output_root, "runs", run_id)
+    R.run_quality_filter(spark, cfg)
+    os.remove(os.path.join(run_dir, "manifest.json"))
+    shutil.rmtree(os.path.join(run_dir, "chunk=2"))
+    shutil.rmtree(os.path.join(run_dir, "chunk=3"))
+
+    seen = []
+    real_qf = R._pipeline_mod.quality_filter
+
+    def spy_qf(src, **kw):
+        seen.append(sorted(src.inputFiles()))
+        return real_qf(src, **kw)
+
+    monkeypatch.setattr(R._pipeline_mod, "quality_filter", spy_qf)
+    res = R.run_quality_filter(spark, cfg)
+    assert res.chunks_skipped == 2 and res.chunks_run == 2
+    assert len(seen) == 1  # ONE job covered both missing chunks
+    assert seen[0], "resume scan read no files"
+    for f in seen[0]:
+        assert "/input_chunked/chunk=2/" in f or "/input_chunked/chunk=3/" in f, f
+    out = R.load_output(spark, res).toPandas()
+    assert out["url"].is_unique and len(out) == 500
+
+
+def test_retry_commits_metrics_exactly_once(spark, pages_path, tmp_path, monkeypatch):
+    """A retry after partial promotion must not re-promote or double-count
+    committed chunks: exactly one metrics row per chunk, exact totals."""
+    calls = {"n": 0}
+    real = R._chunk_metrics
+
+    def flaky(out, run_id, chunk, wall_ms):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail while committing the 2nd chunk
+            raise RuntimeError("injected metrics failure")
+        return real(out, run_id, chunk, wall_ms)
+
+    monkeypatch.setattr(R, "_chunk_metrics", flaky)
+    cfg = _config(pages_path, tmp_path / "outr")
+    res = R.run_quality_filter(spark, cfg)
+    assert res.chunks_run == 4
+    metrics = R.read_table(spark, cfg.output_root, "metrics").toPandas()
+    assert len(metrics) == 4
+    assert sorted(metrics["chunk"]) == [0, 1, 2, 3]
+    assert metrics["docs_seen"].sum() == 500
+
+
+def test_cancel_run_records_catalog(spark, pages_path, tmp_path):
+    cfg = _config(pages_path, tmp_path / "outc")
+    run_id = R.cancel_run(cfg)
+    cat = R.read_table(spark, cfg.output_root, "runs_catalog").toPandas()
+    assert list(cat[cat["run_id"] == run_id]["status"]) == ["CANCELLED"]
+
+
+def test_incremental_catalog_lifecycle(spark, tmp_path):
+    """run_incremental records STARTED/COMPLETED like a fresh run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.datagen import PAGES_SCHEMA, build_pages_pdf
+
+    pdf = build_pages_pdf("/root/testdata/sf0.001")
+    src1, src2 = tmp_path / "i1", tmp_path / "i2"
+    src1.mkdir(), src2.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:200], schema=PAGES_SCHEMA,
+                                        preserve_index=False), str(src1 / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(pdf, schema=PAGES_SCHEMA,
+                                        preserve_index=False), str(src2 / "a.parquet"))
+    out_root = str(tmp_path / "out")
+    res1 = R.run_quality_filter(spark, R.RunConfig(str(src1), out_root, num_chunks=2))
+    cfg2 = R.RunConfig(str(src2), out_root, num_chunks=2)
+    res2 = R.run_incremental(spark, cfg2, prior=res1)
+    cat = R.read_table(spark, out_root, "runs_catalog").toPandas()
+    inc = cat[cat["run_id"] == res2.run_id].sort_values("event_time")
+    assert list(inc["status"]) == ["STARTED", "COMPLETED"]
+
+
 def test_fingerprint_sensitivity(pages_path, tmp_path):
     a = R.run_fingerprint(_config(pages_path, tmp_path, salt="s1"))
     b = R.run_fingerprint(_config(pages_path, tmp_path, salt="s2"))
