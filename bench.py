@@ -226,10 +226,16 @@ def main() -> None:
         timings["pipeline"] = round(wall_4n, 3)
     # warmup the fresh session once
     _materialize(q.Q["q1_pricing_summary"](spark, SF_DIR))
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        _materialize(q.Q[name](spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+    # two full passes, min per query: host-steal windows last minutes, so a
+    # single-shot timing can read 10-30x high; the second pass lands several
+    # minutes after the first and the min discards whichever pass a window
+    # swallowed (same de-noising rationale as the interleaved scaling runs)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            _materialize(q.Q[name](spark, SF_DIR))
+            wall = round(time.monotonic() - t0, 3)
+            timings[name] = min(timings.get(name, wall), wall)
     spark.stop()
 
     out = {

@@ -113,10 +113,14 @@ def scrub_stage(df: DataFrame, text_col: str = "text_t") -> DataFrame:
 # Fused stage: one Arrow boundary for all Python-side models.
 # ---------------------------------------------------------------------------
 
+# NOTE: text_t (the truncated text) is deliberately NOT in the UDF output:
+# it is a pure prefix of extracted_text, recomputed JVM-side as
+# substring(extracted_text, 1, TRUNCATE_CHARS) — Spark's substring counts
+# code points exactly like the python slice, and shipping a second near-full
+# copy of every document back through Arrow measurably hurt the pipeline.
 _FUSED_SCHEMA = StructType(
     [
         StructField("extracted_text", StringType()),
-        StructField("text_t", StringType()),
         StructField("error", StringType()),  # per-row extract error tag (K3)
         StructField("lang_pred", StringType()),
         StructField("lang_conf", DoubleType()),
@@ -162,12 +166,19 @@ def _fused_udf(html: pd.Series) -> pd.DataFrame:
     trunc = [e[: rules.TRUNCATE_CHARS] for e in extracted]  # score.py:104 parity
     out = _score_texts(trunc)
     out.insert(0, "extracted_text", extracted)
-    out.insert(1, "text_t", trunc)
-    out.insert(2, "error", [s[1] for s in st])
+    out.insert(1, "error", [s[1] for s in st])
     return out[_FUSED_SCHEMA.fieldNames()]
 
 
-@F.pandas_udf(_FUSED_SCHEMA)
+# the params variant DOES return text_t: the per-row limit lives in python
+# (rules.truncate_limit) and must not be re-implemented as a second SQL
+# expression that could drift from it
+_FUSED_PARAMS_SCHEMA = StructType(
+    [_FUSED_SCHEMA.fields[0], StructField("text_t", StringType())] + _FUSED_SCHEMA.fields[1:]
+)
+
+
+@F.pandas_udf(_FUSED_PARAMS_SCHEMA)
 def _fused_params_udf(html: pd.Series, params: pd.Series) -> pd.DataFrame:
     """Fused scoring with a per-row generation-params override: the params
     JSON column drives the truncation operator (prompt_formatter.py:108-117
@@ -179,7 +190,7 @@ def _fused_params_udf(html: pd.Series, params: pd.Series) -> pd.DataFrame:
     out.insert(0, "extracted_text", extracted)
     out.insert(1, "text_t", trunc)
     out.insert(2, "error", [s[1] for s in st])
-    return out[_FUSED_SCHEMA.fieldNames()]
+    return out[_FUSED_PARAMS_SCHEMA.fieldNames()]
 
 
 def fused_score_stage(
@@ -191,12 +202,19 @@ def fused_score_stage(
     ``truncate`` key overrides TRUNCATE_CHARS row by row."""
     if params_col is None:
         fused = _fused_udf(F.col(html_col))
+        schema = _FUSED_SCHEMA
     else:
         fused = _fused_params_udf(F.col(html_col), F.col(params_col))
+        schema = _FUSED_PARAMS_SCHEMA
     df = df.withColumn("_m", fused)
-    for f in _FUSED_SCHEMA.fieldNames():
+    for f in schema.fieldNames():
         df = df.withColumn(f, F.col("_m")[f])
-    return df.drop("_m")
+    df = df.drop("_m")
+    if params_col is None:
+        df = df.withColumn(
+            "text_t", F.substring(F.col("extracted_text"), 1, rules.TRUNCATE_CHARS)
+        )
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +226,6 @@ def fused_score_stage(
 _EXTRACT_SCHEMA = StructType(
     [
         StructField("extracted_text", StringType()),
-        StructField("text_t", StringType()),
         StructField("error", StringType()),
     ]
 )
@@ -217,13 +234,8 @@ _EXTRACT_SCHEMA = StructType(
 @F.pandas_udf(_EXTRACT_SCHEMA)
 def _extract_truncate_udf(html: pd.Series) -> pd.DataFrame:
     st = [rules.extract_status(h) for h in html]
-    extracted = [s[0] for s in st]
     return pd.DataFrame(
-        {
-            "extracted_text": extracted,
-            "text_t": [e[: rules.TRUNCATE_CHARS] for e in extracted],
-            "error": [s[1] for s in st],
-        }
+        {"extracted_text": [s[0] for s in st], "error": [s[1] for s in st]}
     )
 
 
@@ -231,12 +243,14 @@ def extract_truncate_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
     e = _extract_truncate_udf(F.col(html_col))
     return (
         df.withColumn("extracted_text", e["extracted_text"])
-        .withColumn("text_t", e["text_t"])
         .withColumn("error", e["error"])
+        .withColumn(
+            "text_t", F.substring(F.col("extracted_text"), 1, rules.TRUNCATE_CHARS)
+        )
     )
 
 
-_TEXT_SCORE_SCHEMA = StructType(_FUSED_SCHEMA.fields[3:])
+_TEXT_SCORE_SCHEMA = StructType(_FUSED_SCHEMA.fields[2:])
 
 
 @F.pandas_udf(_TEXT_SCORE_SCHEMA)

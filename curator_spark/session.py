@@ -48,9 +48,12 @@ def get_spark(
         # Bound the Arrow batch so wide html/binary rows don't blow the
         # executor python worker. Measured on local[32]: 10k-row batches of
         # ~1KB pages pin enough off-heap Arrow memory across 32 workers to
-        # cause multi-x run-to-run jitter; 2k rows/batch is stable and no
-        # slower at low core counts.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # cause multi-x run-to-run jitter. 1024 measured best end-to-end
+        # (pinned sweep 256/512/1024/2048): small enough that the JVM task
+        # thread and its python worker pipeline batches instead of taking
+        # turns (a 2500-row task holds 2-3 batches at 1024, vs 1-2 stalls
+        # at 2048), big enough to amortize per-batch pandas overhead.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
