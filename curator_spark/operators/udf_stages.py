@@ -239,15 +239,22 @@ def _extract_truncate_udf(html: pd.Series) -> pd.DataFrame:
     )
 
 
-def extract_truncate_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_stage_narrow(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """html -> (extracted_text, error) only. text_t is NOT added here: the
+    caller derives it (codepoint substring) AFTER any repartition, so the
+    shuffle carries one text copy, not two."""
     e = _extract_truncate_udf(F.col(html_col))
-    return (
-        df.withColumn("extracted_text", e["extracted_text"])
-        .withColumn("error", e["error"])
-        .withColumn(
-            "text_t", F.substring(F.col("extracted_text"), 1, rules.TRUNCATE_CHARS)
-        )
+    return df.withColumn("extracted_text", e["extracted_text"]).withColumn(
+        "error", e["error"]
     )
+
+
+def truncate_col() -> F.Column:
+    return F.substring(F.col("extracted_text"), 1, rules.TRUNCATE_CHARS)
+
+
+def extract_truncate_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
+    return extract_stage_narrow(df, html_col).withColumn("text_t", truncate_col())
 
 
 _TEXT_SCORE_SCHEMA = StructType(_FUSED_SCHEMA.fields[2:])

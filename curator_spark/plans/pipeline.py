@@ -16,9 +16,10 @@ from pyspark.sql import functions as F
 from ..functions.partitioning import salted_repartition
 from ..operators.heuristics import heuristics_stage
 from ..operators.udf_stages import (
-    extract_truncate_stage,
+    extract_stage_narrow,
     fused_score_stage,
     text_score_stage,
+    truncate_col,
 )
 from ..operators.verdict import verdict_stage
 
@@ -55,14 +56,27 @@ def quality_filter(
     repartition_to: int | None = None,
     salt: str | None = None,
     params_col: str | None = None,
+    repartition_stage: str = "post_extract",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> verdict table.
 
     ``repartition_to``: explicit salted url-hash repartition (north rule,
-    host-skew defusal). The repartition happens AFTER extraction on narrow
-    text columns — raw html (10-50x wider than extracted text at web scale)
-    never crosses the shuffle. Leave None for the fully fused, shuffle-free
-    plan when the input scan layout is already uniform.
+    host-skew defusal). Leave None for the fully fused, shuffle-free plan
+    when the input scan layout is already uniform.
+
+    ``repartition_stage`` picks WHERE the shuffle happens — the two skew
+    mechanisms need different remedies:
+
+    - ``"post_extract"`` (default): extract in place, shuffle NARROW text
+      columns, score after. Raw html (10-50x wider than extracted text at
+      web scale) never crosses the wire. Right when per-row work downstream
+      of extraction must be balanced but the scan layout is uniform.
+    - ``"raw"``: shuffle the raw rows (html included) straight off the
+      scan, then run the fused stage on balanced partitions. Right when the
+      INPUT LAYOUT is skewed (crawl dumps cluster a hot host's pages into
+      few fat files / row groups): a fat row group is unsplittable, so any
+      work left before the shuffle — extraction above all — serializes on
+      one task. Pays the wide shuffle to parallelize extraction itself.
 
     ``params_col``: optional per-row generation-params JSON column; its
     ``truncate`` key overrides the stage's truncation row by row (P2
@@ -73,10 +87,15 @@ def quality_filter(
         df = heuristics_stage(df, text_col="text_t")
         df = verdict_stage(df)
         return df.select(*OUTPUT_COLUMNS)
-    if repartition_to:
-        df = extract_truncate_stage(pages)  # Arrow boundary 1: html -> text
+    salt_args = [salt] if salt else []
+    if repartition_to and repartition_stage == "raw":
+        df = salted_repartition(pages, "url", repartition_to, *salt_args)
+        df = fused_score_stage(df)
+    elif repartition_to:
+        df = extract_stage_narrow(pages)  # Arrow boundary 1: html -> text
         df = df.drop("html", "text")  # narrow rows only through the wire
-        df = salted_repartition(df, "url", repartition_to, *( [salt] if salt else [] ))
+        df = salted_repartition(df, "url", repartition_to, *salt_args)
+        df = df.withColumn("text_t", truncate_col())  # post-shuffle: ONE text copy crossed
         df = text_score_stage(df)  # Arrow boundary 2: langid+ppl+scrub
     else:
         df = fused_score_stage(pages)  # ONE Arrow boundary for everything
