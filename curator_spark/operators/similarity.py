@@ -109,6 +109,89 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: str = "lsh-v1")
     return _bucket(vec)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: n_centroids corpus vectors chosen
+    by content-hash order (md5 of the key — the same reshuffle-stable
+    sampling as `deterministic_sample`). No iterative k-means: sampled
+    centroids already give the IVF plan its shape (cell assignment ->
+    cell-local search), and determinism beats a few percent of recall here;
+    a Lloyd refinement would slot in between sample and broadcast.
+    Driver-side size is n_centroids × dim floats — broadcast-trivial."""
+    rows = (
+        corpus.select(F.col(key).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.array([list(r.v) for r in rows], dtype=np.float64)
+
+
+def _ivf_cells(vec: Column, centroids: np.ndarray, n_probe: int = 1) -> Column:
+    """Index(es) of the nearest centroid(s) by cosine — array of the
+    n_probe best cells, best first. Vectorized per Arrow batch; sequential
+    cumsum dots (deterministic); ties resolve to the lowest cell index."""
+    c_norm = centroids / np.sqrt((centroids * centroids).cumsum(axis=1)[:, -1:])
+
+    @F.pandas_udf("array<int>")
+    def _cells(vs):  # no hints: postponed annotations break pandas_udf introspection
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.sqrt(_seq_dot(a, a))[:, None]
+        an = a / np.where(norms == 0, 1.0, norms)
+        sims = _seq_dot(an[:, None, :], c_norm[None, :, :])
+        # stable argsort descending: kind='stable' on -sims keeps low index on ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _cells(vec)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query searches its n_probe nearest cells only.
+
+    Same physical shape as sign-LSH ANN (narrow cell projection -> ONE
+    shuffle on the cell id -> per-cell scoring -> window top-k) with the
+    hash replaced by a learned-ish coarse quantizer — the classic IVF
+    recall/cost trade: n_probe tunes recall, cell count tunes cell size.
+    At 10^12 vectors the centroid table stays broadcast-sized (even 2^20
+    centroids × 768 dims ≈ 3 GB fp32 — shard or PQ-compress beyond that).
+    """
+    centroids = ivf_centroids(corpus, n_centroids, key, vec_col)
+    c = corpus.select(
+        F.col(key).alias("id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_ivf_cells(F.col(vec_col), centroids, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(key).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_ivf_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id", cosine_scores(F.col("qv"), F.col("cv")).alias("cos"))
+        .dropDuplicates(["qid", "id"])
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(_rank_window("qid")))
+    return ranked.filter(F.col("rank") <= k).select("qid", "id", "cos", "rank")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -462,6 +462,18 @@ def q_lsh_ann_topk(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
+@_register("ivf_ann_topk")  # approximate by design -> rows-only driver check
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-bucketed ANN (coarse-quantizer cells instead of LSH sign bits;
+    same one-shuffle plan shape). Deterministic centroids via content-hash
+    sampling; scores are exact cosines of the probed candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=3
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 # ===========================================================================
 # Relational lifecycle analogs over the TPC-H-ish tables
 # ===========================================================================

@@ -146,6 +146,53 @@ def test_embedding_near_dup_pairs(emb_df):
         assert a % 2 == b % 2  # never across clusters
 
 
+def test_lsh_ann_multiprobe_improves_recall(emb_df):
+    """probes>1 unions flip-1-bit buckets: candidate coverage can only grow,
+    scores stay true cosines, and at enough probes recall approaches brute
+    force."""
+    vecs = {r.vec_id: r.embedding for r in emb_df.collect()}
+    q = emb_df.filter(F.col("vec_id") < 5)
+
+    def pairs(probes):
+        out = similarity.lsh_ann_topk(
+            emb_df, q, dim=8, k=4, num_planes=6, probes=probes
+        ).collect()
+        for r in out:
+            assert math.isclose(r.cos, _np_cos(vecs[r.qid], vecs[r.id]), rel_tol=1e-9)
+        return {(r.qid, r.id) for r in out}
+
+    single, multi = pairs(1), pairs(4)
+    brute = {
+        (r.qid, r.id)
+        for r in similarity.brute_force_topk(emb_df, q, k=4).collect()
+    }
+    assert len(multi) >= len(single)
+    # recall vs exact top-k must not decrease with probing
+    assert len(multi & brute) >= len(single & brute)
+    assert len(multi & brute) > 0
+
+
+def test_ivf_ann_cells_and_recall(emb_df):
+    """IVF: centroids deterministic, every emitted score a true cosine,
+    recall grows with n_probe, and probing all cells == brute force."""
+    vecs = {r.vec_id: r.embedding for r in emb_df.collect()}
+    q = emb_df.filter(F.col("vec_id") < 5)
+    c1 = similarity.ivf_centroids(emb_df, 8)
+    c2 = similarity.ivf_centroids(emb_df, 8)
+    assert (c1 == c2).all()
+
+    def pairs(n_probe):
+        out = similarity.ivf_ann_topk(emb_df, q, k=4, n_centroids=8, n_probe=n_probe).collect()
+        for r in out:
+            assert math.isclose(r.cos, _np_cos(vecs[r.qid], vecs[r.id]), rel_tol=1e-9)
+        return {(r.qid, r.id) for r in out}
+
+    brute = {(r.qid, r.id) for r in similarity.brute_force_topk(emb_df, q, k=4).collect()}
+    p1, p2, pall = pairs(1), pairs(2), pairs(8)
+    assert len(p1 & brute) <= len(p2 & brute) <= len(pall & brute)
+    assert pall == brute  # probing every cell recovers exact top-k
+
+
 def test_lsh_ann_scores_are_true_cosines(emb_df):
     vecs = {r.vec_id: r.embedding for r in emb_df.collect()}
     out = similarity.lsh_ann_topk(

@@ -114,6 +114,33 @@ def test_params_col_drives_truncation(pages_df):
         assert r.n_chars == len(r.extracted_text[: rules.truncate_limit(r.gen_params)])
 
 
+def test_export_corpus_executes_pipeline_once(spark, pages_df, tmp_path):
+    """The sizing count() must not trigger a second full execution of the
+    upstream plan (persist-before-count): an accumulator inside the plan
+    counts evaluations per row."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.plans.pipeline import export_corpus
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tick(s):
+        acc.add(1)
+        return s
+
+    n = pages_df.count()
+    verdicts = pages_df.select(
+        "url",
+        "warc_ts",
+        F.lit("en").alias("lang_pred"),
+        tick(F.col("url")).alias("scrubbed_text"),
+        F.lit(True).alias("keep"),
+    )
+    export_corpus(verdicts, str(tmp_path / "once"), target_rows_per_file=100)
+    assert acc.value == n, f"pipeline evaluated {acc.value / n:.1f}x per row"
+
+
 def test_export_corpus_roundtrip(spark, pages_df, golden, tmp_path):
     """K4 publish analog: kept pages exported as a lang-partitioned sharded
     corpus; read-back equals the golden keep set exactly."""
