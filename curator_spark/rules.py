@@ -230,6 +230,11 @@ def scrub_text_sequential(text: str) -> tuple[str, dict[str, int]]:
 
 
 _DIGIT_RE = re.compile(r"[0-9]")
+# Necessary condition for ANY phone match: every alternative of the phone
+# pattern ends in \d{3}[-. ]\d{4}. A bare digit gate passes on almost every
+# web page (years, counts); this one skips the expensive phone scan unless
+# a phone-shaped digit group is actually present.
+_PHONE_GATE_RE = re.compile(r"[0-9]{3}[-. ][0-9]{4}")
 
 
 def scrub_text(text: str) -> tuple[str, dict[str, int]]:
@@ -248,7 +253,8 @@ def scrub_text(text: str) -> tuple[str, dict[str, int]]:
     if "@" in out:
         out, counts["email"] = SCRUB_PATTERNS[0][1].subn("<EMAIL>", out)
     if _DIGIT_RE.search(out) is not None:
-        out, counts["phone"] = SCRUB_PATTERNS[1][1].subn("<PHONE>", out)
+        if _PHONE_GATE_RE.search(out) is not None:
+            out, counts["phone"] = SCRUB_PATTERNS[1][1].subn("<PHONE>", out)
         if "." in out:
             out, counts["ip"] = SCRUB_PATTERNS[2][1].subn("<IP>", out)
         if "-" in out:

@@ -31,6 +31,11 @@ def main() -> None:
     p.add_argument("--repartition", type=int, default=None)
     p.add_argument("--salt", default=None)
     p.add_argument("--max-attempts", type=int, default=3)
+    p.add_argument(
+        "--chunk-input",
+        action="store_true",
+        help="stage the input partitioned by chunk so resumes scan only missing chunks",
+    )
     args = p.parse_args()
 
     from curator_spark.functions.partitioning import DEFAULT_SALT
@@ -45,6 +50,7 @@ def main() -> None:
         repartition_to=args.repartition,
         salt=args.salt or DEFAULT_SALT,
         max_attempts=args.max_attempts,
+        chunk_input=args.chunk_input,
     )
     res = R.run_quality_filter(spark, cfg)
     out = R.load_output(spark, res)
