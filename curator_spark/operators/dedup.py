@@ -296,7 +296,100 @@ def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int 
 
 
 # ---------------------------------------------------------------------------
-# D5. Embedding-cosine near-duplicates (brute force; LSH path in similarity.py)
+# D5. Duplicate-cluster resolution: connected components over near-dup pairs.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """(id_a, id_b) near-dup pairs -> (node, component) with component = the
+    MINIMUM node id reachable through the pair graph. This is what turns
+    pairwise similarity into an actual dedup decision: one survivor (the
+    min id) per transitive duplicate cluster.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; stop when a round changes
+    nothing. Label values only decrease and are bounded below by the
+    component min, so termination is guaranteed (diameter rounds; the cap
+    is a safety net). Per round: one broadcast-or-shuffle join + one
+    hash-agg — at 10^12-doc scale swap in the large-star/small-star
+    contraction (O(log n) rounds) behind the same signature; near-dup
+    clusters are tiny and shallow, so plain propagation converges in a few
+    rounds.
+
+    Deterministic: pure function of the pair set (no RNG/ids), min-label
+    resolution independent of shuffle order.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    labels.persist()
+    labels.count()
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("neigh_lbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("neigh_lbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def near_dup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """The end-to-end dedup operator a corpus pipeline actually wants:
+    exact-dedup -> capped MinHash-LSH candidates -> Jaccard verify ->
+    connected components -> ONE survivor (min key) per duplicate cluster.
+    Output: (doc_id, fp_md5, group_size) of surviving docs — exact-dup
+    group winners minus near-dup cluster losers."""
+    exact = exact_dedup(df, text_col, key)  # (key, fp_md5, group_size)
+    survivors = df.join(exact.select(key), key, "left_semi")
+    cand = minhash_lsh_candidates(
+        survivors, text_col, key, max_bucket_size=max_bucket_size
+    )
+    near = ngram_jaccard_pairs(survivors, pairs=cand, text_col=text_col, key=key,
+                               threshold=threshold)
+    comp = connected_components(near.select("id_a", "id_b"))
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key)
+    )
+    return exact.join(losers, key, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# D6. Embedding-cosine near-duplicates (brute force; LSH path in similarity.py)
 # ---------------------------------------------------------------------------
 
 

@@ -404,6 +404,57 @@ def q_embedding_near_dup(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@_register(
+    "near_dup_components",
+    f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) END) AS s
+      FROM toks),
+    nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS sng FROM nz),
+    na AS (SELECT doc_id, len(s) AS n FROM nz),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex x JOIN ex y ON x.sng = y.sng AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN na a ON i.id_a = a.doc_id JOIN na b ON i.id_b = b.doc_id
+      WHERE i.inter / (a.n + b.n - i.inter) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM edges
+      UNION
+      SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+      WHERE c.lbl <> e.dst)
+    SELECT node, CAST(min(lbl) AS BIGINT) AS component FROM cc GROUP BY node
+    """,
+)
+def q_near_dup_components(spark, sf_dir):
+    """Transitive duplicate clusters: connected components (min-label) over
+    the exact all-pairs Jaccard>=0.5 graph — oracle-checked against a
+    DuckDB recursive CTE. The iterative Spark operator
+    (dedup.connected_components) is the same one the scale path uses."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, w=3, threshold=0.5).select("id_a", "id_b")
+    return dedup.connected_components(pairs)
+
+
+@_register("near_dup_survivors")  # scale composition -> rows-only; components
+# and every upstream operator are oracle-checked individually
+def q_near_dup_survivors(spark, sf_dir):
+    """End-to-end dedup: exact-dedup -> capped LSH -> Jaccard verify ->
+    connected components -> one survivor (min doc_id) per duplicate
+    cluster."""
+    return dedup.near_dup_survivors(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 @_register("simhash_docs")  # engine-internal xxhash64 -> python twin in pytest
 def q_simhash_docs(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))

@@ -101,6 +101,48 @@ def test_simhash_properties(docs_df):
     assert near[(0, 3)] == 0
 
 
+def test_connected_components_matches_union_find(spark):
+    """Iterative min-label propagation == a classic union-find on the same
+    edges, including a chain (transitivity) and singleton-free semantics."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20), (5, 30)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert got[4] == 1  # chain 1-2-3-4 collapses transitively
+
+
+def test_near_dup_survivors_end_to_end(spark):
+    """exact dups collapse, near-dup clusters keep exactly the min id,
+    distinct docs survive."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base + " today"),
+        (1, base + " today"),          # exact dup of 0 -> gone
+        (2, base + " tonight"),        # near-dup of 0 -> same cluster, gone
+        (3, "completely different content about spark partitioning and shuffles"),
+        (4, base + " tonight"),        # exact dup of 2 -> gone
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.near_dup_survivors(df, threshold=0.5).collect()}
+    assert set(out) == {0, 3}
+    assert out[0].group_size == 2  # its exact-dup group had two members
+
+
 @pytest.fixture(scope="module")
 def emb_df(spark):
     rng = np.random.RandomState(7)
