@@ -124,6 +124,7 @@ _FUSED_SCHEMA = StructType(
         StructField("error", StringType()),  # per-row extract error tag (K3)
         StructField("lang_pred", StringType()),
         StructField("lang_conf", DoubleType()),
+        StructField("stop_hits", IntegerType()),
         StructField("perplexity", DoubleType()),
         StructField("scrubbed_text", StringType()),
         StructField("scrub_email", IntegerType()),
@@ -139,15 +140,18 @@ def _score_texts(trunc: list[str]) -> pd.DataFrame:
     """Columnar scoring of already-truncated texts (shared by the one-pass
     fused UDF and the post-shuffle text stage). Column-at-a-time: perplexity
     runs over the whole Arrow batch as one numpy pass (lm.perplexities);
-    langid/scrub stay per-row python but build columns, not row tuples."""
+    langid/scrub stay per-row python but build columns, not row tuples.
+    stop_hits rides along from the langid vote (already computed) so the
+    JVM never re-scans documents with the stopword alternation regex."""
     lm = get_lm()
-    lid = [rules.langid(t) for t in trunc]
+    lid = [rules.langid_with_stop_hits(t) for t in trunc]
     ppl = lm.perplexities(trunc)
     scr = [rules.scrub_text(t) for t in trunc]
     return pd.DataFrame(
         {
             "lang_pred": [x[0] for x in lid],
             "lang_conf": [x[1] for x in lid],
+            "stop_hits": [x[2] for x in lid],
             "perplexity": ppl,
             "scrubbed_text": [x[0] for x in scr],
             "scrub_email": [x[1]["email"] for x in scr],
