@@ -57,6 +57,55 @@ def test_heuristic_stats_bounds(t):
     assert s["symbol_ratio"] >= 0.0
 
 
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_stop_hits_rides_the_langid_vote(t):
+    """The pipeline reuses the langid vote's en-hit count for stop_density;
+    it must equal the heuristic_stats spec count on ANY input."""
+    lang, conf, hits = rules.langid_with_stop_hits(t)
+    assert (lang, conf) == rules.langid(t)
+    expected = sum(
+        1 for tok in rules.tokens(t) if tok.lower() in rules.LANG_LEXICONS["en"]
+    )
+    assert hits == expected
+    stats = rules.heuristic_stats(t)
+    if stats["n_words"]:
+        assert stats["stop_density"] == hits / stats["n_words"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(st.none(), st.text(max_size=60), st.integers(-100, 20000).map(
+    lambda k: '{"truncate": %d}' % k)))
+def test_truncate_limit_contract(p):
+    lim = rules.truncate_limit(p)
+    assert 1 <= lim <= rules.TRUNCATE_CHARS
+    if p and p.startswith('{"truncate"'):
+        import json
+
+        k = json.loads(p)["truncate"]
+        assert lim == max(1, min(k, rules.TRUNCATE_CHARS))
+
+
+@settings(max_examples=200, deadline=None)
+@given(bytes_strategy)
+def test_extract_status_tags(b):
+    text, err = rules.extract_status(b)
+    assert err in (None, "decode_error", "no_marker")
+    try:
+        html = bytes(b).decode("utf-8")
+        decodable = True
+    except UnicodeDecodeError:
+        decodable = False
+    if not decodable:
+        assert (text, err) == ("", "decode_error")
+    elif rules._P_RE.search(html) is None:
+        assert (text, err) == ("", "no_marker")
+    else:
+        assert err is None
+    assert rules.extract_text(b) == text
+    assert rules.extract_status(None) == ("", "null_html")
+
+
 @settings(max_examples=100, deadline=None)
 @given(text_strategy)
 def test_perplexity_finite_nonnegative(t):
