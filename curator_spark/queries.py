@@ -807,6 +807,54 @@ def q_deterministic_sample(spark, sf_dir):
 
 
 @_register(
+    "quality_weighted_sample",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+        length(text) AS n_chars, len(w) AS n_words,
+        len(list_filter(w, x -> list_contains({_sql_lex_list('en')}, lower(x)))) AS stop_hits,
+        length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_symbols,
+        len(list_distinct(list_transform(w, x -> lower(x)))) AS n_distinct
+      FROM t),
+    f AS (
+      SELECT doc_id,
+        least(greatest(5 - (
+          CAST((n_chars < {rules.MIN_CHARS} OR n_chars > {rules.MAX_CHARS}) AS INTEGER)
+          + CAST((n_words > 0 AND n_symbols / n_words > {rules.MAX_SYMBOL_RATIO}) AS INTEGER)
+          + CAST((n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS INTEGER)
+          + CAST((n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS INTEGER)
+        ), 0), 5) AS score
+      FROM s),
+    u AS (
+      SELECT doc_id, score,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  AS DOUBLE) / 4294967296.0 AS unif
+      FROM f)
+    SELECT doc_id, CAST(score AS INTEGER) AS score, unif
+    FROM u WHERE unif < score / 5.0
+    """,
+)
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted subsampling for data mixing (the FineWeb-style
+    recipe: keep high-quality pages with higher probability): keep row iff
+    U(doc) < score/5, where U = the first 8 md5 hex digits of the key as a
+    uniform in [0,1). Pure content hash — the sample is identical under
+    reshuffle/retry and across engines (oracle-exact), unlike rand(seed)
+    which is partition-order dependent."""
+    scored = textanalysis.quality_score(_t(spark, sf_dir, "documents"))
+    unif = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        scored.select("doc_id", "score", unif.alias("unif"))
+        .filter(F.col("unif") < F.col("score") / F.lit(5.0))
+    )
+
+
+@_register(
     "hash_split",
     """
     SELECT doc_id,
