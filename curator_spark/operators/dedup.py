@@ -270,6 +270,52 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: in
     return voted.select(F.col("id").alias(key), sim.alias("simhash"))
 
 
+def simhash_md5(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Cross-engine-verifiable SimHash twin: word hashes from md5 (the only
+    hash both engines compute identically), emitted as two 32-bit halves
+    (hi, lo) so no signed-64 edge exists in either engine. Semantics equal
+    ``simhash`` (per-bit majority vote over the lowercased word multiset);
+    only the hash family differs. The xxhash64 variant stays the scale path
+    (JVM-native hash, single 64-bit column); this one exists so the SimHash
+    *algorithm* is pinned by the DuckDB oracle, not just a python twin.
+    Docs with zero words are absent from the output (both engines)."""
+    w = F.explode(
+        F.transform(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")),
+            F.lower,
+        )
+    ).alias("w")
+    exploded = df.select(F.col(key).alias("id"), w)
+    md5w = F.md5(F.col("w"))
+    half = {
+        "hi": F.conv(F.substring(md5w, 1, 8), 16, 10).cast("long"),
+        "lo": F.conv(F.substring(md5w, 9, 8), 16, 10).cast("long"),
+    }
+    votes = [
+        F.sum(
+            F.when(F.shiftright(half[h], b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v_{h}_{b}")
+        for h in ("hi", "lo")
+        for b in range(32)
+    ]
+    voted = exploded.groupBy("id").agg(*votes)
+    out = {}
+    for h in ("hi", "lo"):
+        acc = None
+        for b in range(32):
+            bit = F.when(F.col(f"v_{h}_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            acc = bit if acc is None else acc + bit
+        out[h] = acc
+    return voted.select(
+        F.col("id").alias(key), out["hi"].alias("simhash_hi"), out["lo"].alias("simhash_lo")
+    )
+
+
 def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance on simhash, blocked on 4 16-bit
     chunks (a pair within hamming<=3 must share >=1 exact chunk — pigeonhole)

@@ -460,6 +460,41 @@ def q_simhash_docs(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+def _simhash_md5_sql() -> str:
+    vote = lambda h, b: (  # noqa: E731
+        f"SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+    )
+    votes = ",\n".join(
+        f"{vote(h, b)} AS v_{h}_{b}" for h in ("hi", "lo") for b in range(32)
+    )
+    recombine = {
+        h: " + ".join(f"(CASE WHEN v_{h}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+        for h in ("hi", "lo")
+    }
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    wds AS (SELECT doc_id, lower(unnest(w)) AS w FROM t),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS hi,
+             CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS lo
+      FROM wds),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           CAST({recombine['hi']} AS BIGINT) AS simhash_hi,
+           CAST({recombine['lo']} AS BIGINT) AS simhash_lo
+    FROM v
+    """
+
+
+@_register("simhash_md5", _simhash_md5_sql())
+def q_simhash_md5(spark, sf_dir):
+    """Oracle-checked SimHash twin (md5 word hashes, 32-bit halves) — pins
+    the per-bit majority-vote algorithm cross-engine; the xxhash64 variant
+    above is the cheap scale path with identical structure."""
+    return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
+
+
 @_register("minhash_jaccard_dedup")  # composition == production scale path
 def q_minhash_jaccard_dedup(spark, sf_dir):
     """The near-dup scale path, fully composed: exact-dedup first (so
