@@ -45,7 +45,10 @@ _STOPWORD_COUNT_RE = (
 
 
 def heuristics_stage(
-    df: DataFrame, text_col: str = "text_t", stop_hits_col: str | None = None
+    df: DataFrame,
+    text_col: str = "text_t",
+    stop_hits_col: str | None = None,
+    token_stats_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Adds n_chars, n_words, mean_word_len, stop_density, symbol_ratio,
     repeated_line_frac, dup_word_frac.
@@ -57,21 +60,30 @@ def heuristics_stage(
     boundary-anchored regexp_count — which stay inside whole-stage codegen.
     Only dup_word_frac/repeated_line_frac keep (cheap, single) array ops.
 
-    ``stop_hits_col``: when the scoring UDF already counted English-lexicon
-    token hits (the langid vote computes exactly this number), pass that
-    column and the stopword alternation regex — the single most expensive
-    JVM expression in the stage (~50 µs/row·core measured) — is skipped
-    entirely. Byte-identical by construction: same tokens, same lexicon
-    (pinned by tests).
+    ``stop_hits_col`` / ``token_stats_cols`` = (n_words_col,
+    n_distinct_col): when the scoring UDF already tokenized each document
+    (the langid vote computes exactly these numbers), pass the columns and
+    this stage performs NO re-tokenization at all — no stopword alternation
+    regex, no split, no array_distinct (combined ~1.3 s of an 8-core sf0.1
+    run). Byte-identical by construction: same tokens, same lexicon, same
+    int/int double divisions (pinned by equivalence/property tests + the
+    frozen hash book).
     """
     text = F.col(text_col)
     trimmed = F.trim(text)
-    # lowercase once, split once: the lowered-token array used for distinct
-    lwords = F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(F.lower(trimmed), rf"[{_WS_CLASS}]+")
-    )
-    df = df.withColumn("_lwords", lwords)
-    n_words = F.size(F.col("_lwords"))
+    tmp_cols: list[str] = []
+    if token_stats_cols is not None:
+        n_words = F.col(token_stats_cols[0])
+        n_distinct = F.col(token_stats_cols[1])
+    else:
+        # lowercase once, split once: the token array used for count+distinct
+        lwords = F.when(
+            F.length(trimmed) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.lower(trimmed), rf"[{_WS_CLASS}]+"))
+        df = df.withColumn("_lwords", lwords)
+        tmp_cols.append("_lwords")
+        n_words = F.size(F.col("_lwords"))
+        n_distinct = F.size(F.array_distinct(F.col("_lwords")))
     # sum(len(token)) == len(trimmed) - (# whitespace chars inside trimmed)
     char_sum = F.length(F.regexp_replace(trimmed, rf"[{_WS_CLASS}]", ""))
     if stop_hits_col is not None:
@@ -108,11 +120,10 @@ def heuristics_stage(
             "dup_word_frac",
             F.when(
                 n_words > 0,
-                F.lit(1.0)
-                - F.size(F.array_distinct(F.col("_lwords"))).cast("double") / n_words,
+                F.lit(1.0) - n_distinct.cast("double") / n_words,
             ).otherwise(F.lit(0.0)),
         )
-        .drop("_lwords")
+        .drop(*tmp_cols)
     )
 
 

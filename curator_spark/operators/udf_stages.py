@@ -125,6 +125,8 @@ _FUSED_SCHEMA = StructType(
         StructField("lang_pred", StringType()),
         StructField("lang_conf", DoubleType()),
         StructField("stop_hits", IntegerType()),
+        StructField("tok_words", IntegerType()),
+        StructField("tok_distinct", IntegerType()),
         StructField("perplexity", DoubleType()),
         StructField("scrubbed_text", StringType()),
         StructField("scrub_email", IntegerType()),
@@ -141,10 +143,11 @@ def _score_texts(trunc: list[str]) -> pd.DataFrame:
     fused UDF and the post-shuffle text stage). Column-at-a-time: perplexity
     runs over the whole Arrow batch as one numpy pass (lm.perplexities);
     langid/scrub stay per-row python but build columns, not row tuples.
-    stop_hits rides along from the langid vote (already computed) so the
-    JVM never re-scans documents with the stopword alternation regex."""
+    stop_hits / token counts ride along from the langid vote (already
+    tokenized) so the JVM never re-tokenizes: no stopword alternation
+    regex, no split, no array_distinct in the downstream heuristics."""
     lm = get_lm()
-    lid = [rules.langid_with_stop_hits(t) for t in trunc]
+    lid = [rules.langid_token_stats(t) for t in trunc]
     ppl = lm.perplexities(trunc)
     scr = [rules.scrub_text(t) for t in trunc]
     return pd.DataFrame(
@@ -152,6 +155,8 @@ def _score_texts(trunc: list[str]) -> pd.DataFrame:
             "lang_pred": [x[0] for x in lid],
             "lang_conf": [x[1] for x in lid],
             "stop_hits": [x[2] for x in lid],
+            "tok_words": [x[3] for x in lid],
+            "tok_distinct": [x[4] for x in lid],
             "perplexity": ppl,
             "scrubbed_text": [x[0] for x in scr],
             "scrub_email": [x[1]["email"] for x in scr],

@@ -84,7 +84,7 @@ def quality_filter(
     """
     if params_col is not None:
         df = fused_score_stage(pages, params_col=params_col)
-        df = heuristics_stage(df, text_col="text_t", stop_hits_col="stop_hits")
+        df = heuristics_stage(df, text_col="text_t", stop_hits_col="stop_hits", token_stats_cols=("tok_words", "tok_distinct"))
         df = verdict_stage(df)
         return df.select(*OUTPUT_COLUMNS)
     salt_args = [salt] if salt else []
@@ -99,7 +99,7 @@ def quality_filter(
         df = text_score_stage(df)  # Arrow boundary 2: langid+ppl+scrub
     else:
         df = fused_score_stage(pages)  # ONE Arrow boundary for everything
-    df = heuristics_stage(df, text_col="text_t", stop_hits_col="stop_hits")  # native codegen
+    df = heuristics_stage(df, text_col="text_t", stop_hits_col="stop_hits", token_stats_cols=("tok_words", "tok_distinct"))  # native codegen
     df = verdict_stage(df)  # native codegen
     return df.select(*OUTPUT_COLUMNS)
 

@@ -151,19 +151,22 @@ for _li, _lang in enumerate(_LANGS):
 _EN_IDX = _LANGS.index("en")
 
 
-def langid_with_stop_hits(text: str) -> tuple[str, float, int]:
-    """Predict (lang, confidence, en_stop_hits). Script check first (ar/zh),
-    then lexicon vote over word tokens. confidence = top_hits /
-    scored_tokens in [0,1]; 0.0 when nothing matches (-> 'und').
+def langid_token_stats(text: str) -> tuple[str, float, int, int, int]:
+    """Predict (lang, conf, en_stop_hits, n_words, n_distinct_lower).
+    Script check first (ar/zh), then lexicon vote over word tokens.
+    confidence = top_hits / scored_tokens in [0,1]; 0.0 when nothing
+    matches (-> 'und').
 
-    en_stop_hits is the English-lexicon vote — BYTE-IDENTICAL to
-    ``heuristic_stats``'s stop_hits (same tokens, same lexicon), exposed so
-    the pipeline reuses the vote it already computed instead of re-scanning
-    every document with a 30-word alternation regex JVM-side (measured
-    ~0.75 s of an 8-core sf0.1 run). Computed even for script-detected
-    (ar/zh) rows so stop_density parity holds for every row."""
+    The trailing counts ride the tokenization the vote already paid for —
+    BYTE-IDENTICAL to ``heuristic_stats``'s stop_hits / n_words / distinct
+    lowered-token count (same tokens, same lexicon: lowering never creates
+    ASCII whitespace, so tokens(lower(text)) == [lower(t) for t in
+    tokens(text)] elementwise). Exposed so the pipeline skips three JVM
+    re-tokenizations (stopword alternation regex, split, array_distinct —
+    measured ~1.3 s of an 8-core sf0.1 run combined). Computed even for
+    script-detected (ar/zh) rows so per-row parity holds everywhere."""
     if not text:
-        return "und", 0.0, 0
+        return "und", 0.0, 0, 0, 0
     script: tuple[str, float] | None = None
     if not text.isascii():  # ASCII text has zero ar/zh hits by definition;
         # the C-level gate skips two full regex scans on the common case
@@ -176,22 +179,29 @@ def langid_with_stop_hits(text: str) -> tuple[str, float, int]:
             script = ("zh", min(1.0, n_zh / n))
     toks = tokens(text.lower())  # lower() once; whitespace is case-invariant
     if not toks:
-        return (*script, 0) if script else ("und", 0.0, 0)
+        return (*script, 0, 0, 0) if script else ("und", 0.0, 0, 0, 0)
+    n_words = len(toks)
+    n_distinct = len(set(toks))
     packed = sum(filter(None, map(_TOKEN_PACKED.get, toks)))
     scores = [(packed >> (32 * i)) & 0xFFFFFFFF for i in range(len(_LANGS))]
     en_hits = scores[_EN_IDX]
     if script:
-        return (*script, en_hits)
+        return (*script, en_hits, n_words, n_distinct)
     # deterministic argmax: score desc, then lang asc (_LANGS is sorted)
     best_i = max(range(len(_LANGS)), key=lambda i: (scores[i], -i))
     if scores[best_i] == 0:
-        return "und", 0.0, en_hits
-    return _LANGS[best_i], scores[best_i] / len(toks), en_hits
+        return "und", 0.0, en_hits, n_words, n_distinct
+    return _LANGS[best_i], scores[best_i] / n_words, en_hits, n_words, n_distinct
+
+
+def langid_with_stop_hits(text: str) -> tuple[str, float, int]:
+    lang, conf, hits, _, _ = langid_token_stats(text)
+    return lang, conf, hits
 
 
 def langid(text: str) -> tuple[str, float]:
-    """Predict (lang, confidence) — see langid_with_stop_hits."""
-    lang, conf, _ = langid_with_stop_hits(text)
+    """Predict (lang, confidence) — see langid_token_stats."""
+    lang, conf, _, _, _ = langid_token_stats(text)
     return lang, conf
 
 
