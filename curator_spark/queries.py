@@ -1172,6 +1172,51 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+@_register(
+    "nfc_normalize",
+    """
+    SELECT doc_id,
+           nfc_normalize(text) AS text_nfc,
+           (nfc_normalize(text) = text) AS already_nfc,
+           length(nfc_normalize(text)) AS nfc_len
+    FROM documents
+    """,
+)
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (SURVEY §7: 'pin normalization once') —
+    python unicodedata vs DuckDB's utf8proc, both UAX#15, verified
+    byte-identical by the oracle. Arrow-batched pandas UDF; at 100 TB this
+    runs inside the fused stage as normalization pass 0."""
+    import unicodedata
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def nfc(s):  # no hints: postponed annotations break pandas_udf introspection
+        return pd.Series([unicodedata.normalize("NFC", t) if t is not None else None for t in s])
+
+    d = _t(spark, sf_dir, "documents")
+    n = nfc(F.col("text"))
+    return d.select(
+        "doc_id",
+        n.alias("text_nfc"),
+        (n == F.col("text")).alias("already_nfc"),
+        F.length(n).cast("long").alias("nfc_len"),
+    )
+
+
+@_register("resize_plan")  # stub-decoder-derived dims -> rows-only
+def q_resize_plan(spark, sf_dir):
+    """Image resize planning over decoded media metadata: aspect-preserving
+    target dims capped at max_side (native columns; the byte-level resize is
+    the stubbed decoder's downstream job)."""
+    from .operators.multimodal import decode_media, media_from_pages, resize_plan
+    from .sources.tables import load_pages
+
+    media = media_from_pages(load_pages(spark, sf_dir))
+    return resize_plan(decode_media(media), max_side=256)
+
+
 @_register("multimodal_decode")  # stubbed decoder -> rows-only; pytest covers
 def q_multimodal_decode(spark, sf_dir):
     from .operators.multimodal import decode_media, media_from_pages
