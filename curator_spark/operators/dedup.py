@@ -347,24 +347,30 @@ def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int 
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 25
+    pairs: DataFrame, max_iterations: int = 25, algorithm: str = "propagate"
 ) -> DataFrame:
     """(id_a, id_b) near-dup pairs -> (node, component) with component = the
     MINIMUM node id reachable through the pair graph. This is what turns
     pairwise similarity into an actual dedup decision: one survivor (the
     min id) per transitive duplicate cluster.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; stop when a round changes
-    nothing. Label values only decrease and are bounded below by the
-    component min, so termination is guaranteed (diameter rounds; the cap
-    is a safety net). Per round: one broadcast-or-shuffle join + one
-    hash-agg — at 10^12-doc scale swap in the large-star/small-star
-    contraction (O(log n) rounds) behind the same signature; near-dup
-    clusters are tiny and shallow, so plain propagation converges in a few
-    rounds.
+    ``algorithm``:
 
-    Deterministic: pure function of the pair set (no RNG/ids), min-label
+    - ``"propagate"`` (default): min-label propagation — each round every
+      node takes the min of its own label and its neighbors' labels; stop
+      when a round changes nothing. Labels only decrease and are bounded
+      below by the component min, so termination is guaranteed in DIAMETER
+      rounds (the cap is a safety net). Right for near-dup graphs: clusters
+      are tiny and shallow.
+    - ``"two_phase"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+      each round rewires edges toward neighborhood minima, converging in
+      O(log n) rounds regardless of diameter. Right at graph scale or for
+      chain-shaped components (a 10^6-long chain costs 10^6 propagation
+      rounds but ~20 two-phase rounds). Tests pin both algorithms equal on
+      randomized graphs.
+
+    Deterministic: pure function of the pair set (no RNG/ids), min-based
     resolution independent of shuffle order.
     """
     edges = (
@@ -372,6 +378,8 @@ def connected_components(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
+    if algorithm == "two_phase":
+        return _cc_two_phase(edges, max_iterations)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -393,6 +401,7 @@ def connected_components(
                     "lbl"
                 ),
             )
+            .localCheckpoint()  # truncate per-round lineage (see _cc_two_phase)
         )
         new_labels.persist()
         changed = (
@@ -406,6 +415,89 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("component"))
+
+
+def _cc_two_phase(edges_sym: DataFrame, max_rounds: int) -> DataFrame:
+    """Alternating large-star/small-star contraction.
+
+    Per round on the undirected edge multiset E (kept deduped):
+
+    - large-star: for every node u with neighborhood N(u), m = min(N(u) ∪
+      {u}); rewire each strictly-LARGER neighbor to m: emit (v, m) for
+      v ∈ N(u), v > u.
+    - small-star: direct each edge from its larger endpoint; for every node
+      u with smaller-neighbors S(u), m = min(S(u) ∪ {u}); emit (v, m) for
+      v ∈ S(u) ∪ {u}, v ≠ m.
+
+    Both steps preserve connectivity and only shrink the reachable minimum
+    distance; at the fixpoint E is a star forest (every node points at its
+    component min). Convergence detected by an order-independent edge-set
+    checksum (count + sum of xxhash64) — deterministic for a given input.
+    """
+    nodes = edges_sym.select(F.col("src").alias("node")).distinct()
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def checksum(e: DataFrame) -> tuple:
+        # bit_xor: order-independent and overflow-free (ANSI mode rejects a
+        # plain sum of 64-bit hashes)
+        row = e.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(src, dst))").alias("h")
+        ).first()
+        return (row.n, row.h)
+
+    def large_star(e_sym: DataFrame) -> DataFrame:
+        m = e_sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = m.select("src", F.least(F.col("src"), F.col("mn")).alias("m"))
+        return (
+            e_sym.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+        rewired = (
+            directed.join(m, "src")
+            .select(F.col("dst").alias("v"), F.col("m"))
+            .unionByName(m.select(F.col("src").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        return rewired
+
+    e = edges_sym
+    prev = None
+    for _ in range(max_rounds):
+        e = sym(large_star(e))
+        # localCheckpoint (eager) truncates the logical plan: without it
+        # every round nests the previous round's plan and Catalyst analysis
+        # time grows super-linearly with iterations — the classic
+        # iterative-DataFrame trap (same reason MLlib checkpoints)
+        e = small_star(e).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+        e = sym(e)
+    # fixpoint: e (directed larger->smaller after small_star) is a star
+    # forest; every non-root node appears once as src with dst = its root
+    parents = e.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("component")
+    ).groupBy("node").agg(F.min("component").alias("component"))
+    return (
+        nodes.join(parents, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
 
 
 def near_dup_survivors(

@@ -126,6 +126,59 @@ def test_connected_components_matches_union_find(spark):
     assert got[4] == 1  # chain 1-2-3-4 collapses transitively
 
 
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_two_phase_cc_matches_propagation_on_random_graphs(spark):
+    """Large-star/small-star must agree with plain propagation AND a
+    union-find twin on randomized graphs of varying density, including a
+    100-node chain (the diameter case two-phase exists for: it converges in
+    O(log n) rounds where propagation needs 100)."""
+    rng = np.random.RandomState(11)
+    cases = []
+    for density in (0.5, 1.5, 3.0):
+        n = 60
+        m = int(n * density)
+        cases.append([(int(rng.randint(n)), int(rng.randint(n))) for _ in range(m)])
+    cases.append([(5, 5), (7, 8)])  # self-loop + pair
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = _union_find(pairs)
+        prop = {r.node: r.component for r in dedup.connected_components(df).collect()}
+        two = {
+            r.node: r.component
+            for r in dedup.connected_components(
+                df, algorithm="two_phase", max_iterations=30
+            ).collect()
+        }
+        assert prop == want, "propagation drift"
+        assert two == want, "two_phase drift"
+    # the diameter case two-phase exists for: a 100-node chain collapses in
+    # O(log n) rounds (propagation would need 100 — beyond its default cap)
+    chain = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    two = {
+        r.node: r.component
+        for r in dedup.connected_components(df, algorithm="two_phase", max_iterations=30).collect()
+    }
+    assert two == {n: 0 for n in range(101)}
+
+
 def test_near_dup_survivors_end_to_end(spark):
     """exact dups collapse, near-dup clusters keep exactly the min id,
     distinct docs survive."""
