@@ -120,6 +120,39 @@ def quality_score(df: DataFrame, text_col: str = "text", key: str = "doc_id") ->
     return df.select(F.col(key), *flags, score.cast("int").alias("score"))
 
 
+def token_budget_pack(
+    df: DataFrame, budget: int, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Fill a training-token budget with the best documents: rank by quality
+    score (desc), tie-break by content hash (deterministic, reshuffle-
+    stable), keep rows while the running BPE-token sum stays within budget —
+    the data-mixing counterpart of quality filtering ("give me the best
+    N-billion tokens").
+
+    Exact integer running sum -> oracle-exact. The window here is GLOBAL
+    (single ordered pass) — fine at verification scale; at 10^12 docs the
+    budget is allocated per url-hash bucket (budget/k per bucket, same
+    operator under a partitionBy) so no single-partition sort exists.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(df, text_col, key).select(key, "score")
+    toks = token_stats(df, text_col, key).select(key, "n_bpe_tokens")
+    ranked = scored.join(toks, key)
+    order = [
+        F.col("score").desc(),
+        F.md5(F.col(key).cast("string")),
+        F.col(key),
+    ]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    running = F.sum("n_bpe_tokens").over(w)
+    return (
+        ranked.withColumn("running_tokens", running.cast("long"))
+        .filter(F.col("running_tokens") <= budget)
+        .select(key, "score", "n_bpe_tokens", "running_tokens")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Document fingerprints: full-text md5 plus a shift-window fingerprint
     (md5 of each 64-char stride-32 window, min-hashed) for near-dup probing.

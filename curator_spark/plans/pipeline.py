@@ -113,12 +113,16 @@ def export_corpus(
     verdicts: DataFrame,
     out_dir: str,
     target_rows_per_file: int = 100_000,
+    fmt: str = "parquet",
 ) -> None:
     """K4 publish analog: materialize the kept corpus as a clean, sharded
-    parquet dataset partitioned by predicted language. File-count control
-    via a url-hash repartition (deterministic shard membership) rather than
+    dataset partitioned by predicted language. File-count control via a
+    url-hash repartition (deterministic shard membership) rather than
     coalesce, so shard sizes stay balanced under host skew; at real scale
     this is an Iceberg table write with the same layout.
+
+    ``fmt``: ``"parquet"`` (default) or ``"json"`` — JSONL with gzip codec,
+    the interchange format most training pipelines ingest directly.
     """
     kept = kept_pages(verdicts)
     # Persist before the sizing count: without it the count() executes the
@@ -127,11 +131,14 @@ def export_corpus(
     try:
         n = kept.count()
         shards = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
-        (
+        writer = (
             kept.repartition(shards, F.xxhash64("url"))
             .write.mode("overwrite")
             .partitionBy("lang_pred")
-            .parquet(out_dir)
         )
+        if fmt == "json":
+            writer.option("compression", "gzip").json(out_dir)
+        else:
+            writer.parquet(out_dir)
     finally:
         kept.unpersist()
