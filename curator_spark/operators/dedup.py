@@ -347,7 +347,7 @@ def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int 
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 25, algorithm: str = "propagate"
+    pairs: DataFrame, max_iterations: int = 50, algorithm: str = "propagate"
 ) -> DataFrame:
     """(id_a, id_b) near-dup pairs -> (node, component) with component = the
     MINIMUM node id reachable through the pair graph. This is what turns
@@ -360,8 +360,9 @@ def connected_components(
       node takes the min of its own label and its neighbors' labels; stop
       when a round changes nothing. Labels only decrease and are bounded
       below by the component min, so termination is guaranteed in DIAMETER
-      rounds (the cap is a safety net). Right for near-dup graphs: clusters
-      are tiny and shallow.
+      rounds (the cap is a safety net; a graph that exhausts it — diameter
+      > max_iterations — is exactly the shape ``"two_phase"`` exists for).
+      Right for near-dup graphs: clusters are tiny and shallow.
     - ``"two_phase"``: alternating large-star/small-star contraction
       (Kiveris et al., "Connected Components in MapReduce and Beyond") —
       each round rewires edges toward neighborhood minima, converging in
