@@ -98,8 +98,9 @@ class CharTrigramLM:
         pos = 0
         chunk: list[str] = []
         chunk_chars = 0
-        for t in list(texts) + [None]:  # trailing None flushes the last chunk
-            if t is not None:
+        flush = object()  # distinct sentinel: None is a VALID row value
+        for t in list(texts) + [flush]:
+            if t is not flush:
                 chunk.append((t or "").lower())
                 chunk_chars += len(chunk[-1])
                 if chunk_chars < 2_000_000:

@@ -385,9 +385,11 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
+        .localCheckpoint()  # eager: materializes AND truncates lineage; the
+        # blocks are released by the context cleaner when the frame is GC'd,
+        # so no explicit persist/unpersist bookkeeping (or leak) is needed
     )
-    labels.persist()
-    labels.count()
+    converged = False
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges.src == labels.node)
@@ -402,19 +404,23 @@ def connected_components(
                     "lbl"
                 ),
             )
-            .localCheckpoint()  # truncate per-round lineage (see _cc_two_phase)
+            .localCheckpoint()
         )
-        new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # diameter exceeded the cap: propagation would return silently-wrong
+        # intermediate labels; this graph shape is exactly what the log-round
+        # contraction handles
+        return _cc_two_phase(edges, max_iterations)
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -572,22 +578,36 @@ def cosine_scores(a: Column, b: Column) -> Column:
         n = len(xs)
         if n == 0:
             return pd.Series([], dtype="float64")
+
+        def row(x, y):
+            # degenerate inputs (null / empty / mismatched-dim vectors)
+            # yield NULL: never crash the stage, always dropped by
+            # threshold filters, and unlike the Column fold's NaN for
+            # empty-vs-empty (NaN sorts GREATER than every number in Spark,
+            # polluting a desc top-k) nulls sort last. Arrow maps pandas
+            # NaN to SQL null anyway, so null is also the only
+            # representable choice here.
+            if x is None or y is None:
+                return None
+            xa = np.asarray(x, dtype=np.float64)
+            ya = np.asarray(y, dtype=np.float64)
+            if xa.size != ya.size or xa.size == 0:
+                return None
+            return _seq_dot(xa, ya) / (
+                np.sqrt(_seq_dot(xa, xa)) * np.sqrt(_seq_dot(ya, ya))
+            )
+
         try:  # uniform-dim fast path: one stacked cumsum per batch
             xa = np.stack([np.asarray(x, dtype=np.float64) for x in xs])
             ya = np.stack([np.asarray(y, dtype=np.float64) for y in ys])
+            if xa.ndim != 2 or xa.shape[1] == 0 or ya.shape != xa.shape:
+                raise ValueError("degenerate batch")
             dot = _seq_dot(xa, ya)
             na = np.sqrt(_seq_dot(xa, xa))
             nb = np.sqrt(_seq_dot(ya, ya))
             return pd.Series(dot / (na * nb))
-        except ValueError:  # ragged dims: per-row
-            out = np.empty(n)
-            for i, (x, y) in enumerate(zip(xs, ys)):
-                xa = np.asarray(x, dtype=np.float64)
-                ya = np.asarray(y, dtype=np.float64)
-                out[i] = _seq_dot(xa, ya) / (
-                    np.sqrt(_seq_dot(xa, xa)) * np.sqrt(_seq_dot(ya, ya))
-                )
-            return pd.Series(out)
+        except (ValueError, TypeError):  # ragged/empty/null rows: per-row
+            return pd.Series([row(x, y) for x, y in zip(xs, ys)], dtype="float64")
 
     return _cos(a, b)
 

@@ -65,9 +65,16 @@ def heuristics_stage(
     (the langid vote computes exactly these numbers), pass the columns and
     this stage performs NO re-tokenization at all — no stopword alternation
     regex, no split, no array_distinct (combined ~1.3 s of an 8-core sf0.1
-    run). Byte-identical by construction: same tokens, same lexicon, same
-    int/int double divisions (pinned by equivalence/property tests + the
-    frozen hash book).
+    run). The ride-along counts follow the PYTHON tokenizer
+    (``rules.tokens``: str.strip of all whitespace) — the same semantics as
+    the golden oracle, so pipeline-vs-golden parity is exact (pinned by
+    equivalence/property tests + the frozen hash book). The JVM fallback
+    below differs on one edge the fixtures (and real extracted text) never
+    hit: Spark's ``trim`` strips only 0x20 spaces, so text with LEADING
+    non-space whitespace (e.g. "\\tfoo") gains an empty leading token in
+    the fallback. The fallback's own SQL oracle (DuckDB trim, also
+    space-only) shares its behavior, so each verification pair stays
+    internally exact.
     """
     text = F.col(text_col)
     trimmed = F.trim(text)

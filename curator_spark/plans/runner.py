@@ -134,15 +134,19 @@ def _ensure_chunked_input(
     root = os.path.join(run_dir, "input_chunked")
     if not _is_committed(root):
         staging = root + f".staging-{uuid.uuid4().hex[:8]}"
-        pages.withColumn("chunk", bucket).write.mode("overwrite").partitionBy(
-            "chunk"
-        ).parquet(staging)
-        for c in range(config.num_chunks):  # empty chunks still need a dir
-            os.makedirs(os.path.join(staging, f"chunk={c}"), exist_ok=True)
-        open(os.path.join(staging, "_SUCCESS"), "a").close()
-        if os.path.exists(root):
-            shutil.rmtree(root)
-        os.rename(staging, root)
+        try:
+            pages.withColumn("chunk", bucket).write.mode("overwrite").partitionBy(
+                "chunk"
+            ).parquet(staging)
+            for c in range(config.num_chunks):  # empty chunks still need a dir
+                os.makedirs(os.path.join(staging, f"chunk={c}"), exist_ok=True)
+            open(os.path.join(staging, "_SUCCESS"), "a").close()
+            if os.path.exists(root):
+                shutil.rmtree(root)
+            os.rename(staging, root)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)  # no full-input orphan
+            raise
     return root
 
 
@@ -267,6 +271,26 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
         )
 
     def _fail_catalog() -> None:
+        # metrics/quarantine commit BEFORE the chunk rename (so a committed
+        # chunk can never lack them); the inverse guarantee is restored here:
+        # on terminal failure, drop the provisional rows of chunks that never
+        # committed (deterministic filenames make this a targeted delete)
+        for c in range(config.num_chunks):
+            if not _is_committed(_chunk_dir(run_dir, c)):
+                m = os.path.join(
+                    config.output_root, "metrics", f"part-{run_id}-c{c}.parquet"
+                )
+                if os.path.exists(m):
+                    os.remove(m)
+                shutil.rmtree(
+                    os.path.join(
+                        config.output_root, "failed_rows", f"run_id={run_id}", f"chunk={c}"
+                    ),
+                    ignore_errors=True,
+                )
+        run_q = os.path.join(config.output_root, "failed_rows", f"run_id={run_id}")
+        if os.path.isdir(run_q) and not os.listdir(run_q):
+            os.rmdir(run_q)
         _catalog_event(config, run_id, "FAILED")
 
     def _commit_failed_rows(chunk: int, data_dir: str) -> None:
@@ -301,6 +325,7 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
         if not missing:
             break
         attempt += 1
+        staging = None
         try:
             t0 = time.monotonic()
             if config.chunk_input:
@@ -347,11 +372,16 @@ def run_quality_filter(spark: SparkSession, config: RunConfig) -> RunResult:
                     shutil.rmtree(cdir)
                 os.rename(src_dir, cdir)
                 chunks_run += 1
-            shutil.rmtree(staging, ignore_errors=True)
         except Exception:
             if attempt >= config.max_attempts:
                 _fail_catalog()
                 raise
+        finally:
+            # promoted chunks were renamed OUT of staging; whatever remains
+            # (full output copies on a failed attempt) must not accumulate
+            # across retries — at 100 TB that is terabytes per failed attempt
+            if staging is not None:
+                shutil.rmtree(staging, ignore_errors=True)
 
     # require_all check (config.py:30 semantics): every chunk committed
     missing = [c for c in range(config.num_chunks) if not _is_committed(_chunk_dir(run_dir, c))]

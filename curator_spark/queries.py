@@ -1325,14 +1325,15 @@ def q_sessionize_events(spark, sf_dir):
     as epoch-MICROSECOND bigints (tz-independent), value sums through exact
     DECIMAL — bit-stable under any shuffle/order; (user_id, ts) is unique in
     the fixture so the window order is deterministic."""
-    from .streaming.sessionize import sessionize_ids
+    from .streaming.sessionize import epoch_us_ntz, sessionize_ids
 
     s = sessionize_ids(_t(spark, sf_dir, "events"), gap_seconds=1800)
+    s = s.withColumn("ts_us", epoch_us_ntz("ts"))  # per-event, tz-free
     return (
         s.groupBy("user_id", "session_id")
         .agg(
-            F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start_us"),
-            F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end_us"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("total_value"),
         )

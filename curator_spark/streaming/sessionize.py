@@ -137,6 +137,22 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS,
     )
 
 
+def epoch_us_ntz(col_name: str) -> F.Column:
+    """Microseconds since 1970-01-01 of a wall-clock (NTZ) timestamp column,
+    SESSION-TIMEZONE-INDEPENDENT: timestampdiff on NTZ operands never
+    consults spark.sql.session.timeZone. The obvious
+    ``unix_micros(ts.cast('timestamp'))`` does (NTZ->TZ cast applies the
+    session zone), which would shift oracle-checked epoch outputs by the
+    zone offset and shift gap comparisons across DST transitions — and the
+    driver's session timezone is unknown (CLAUDE.md invariant). Takes a
+    column NAME (timestampdiff has no pyspark function wrapper; SQL expr
+    needs the reference inline)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"CAST({col_name} AS TIMESTAMP_NTZ))"
+    )
+
+
 def sessionize_ids(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
     """Per-event session assignment: session id = cumulative count of gap
     breaks per user, via lag + running sum windows. Gap compares MICROSECOND
@@ -145,8 +161,7 @@ def sessionize_ids(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) ->
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    # NTZ timestamps don't cast to micros directly; go via TIMESTAMP (UTC)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = epoch_us_ntz("ts")
     gap = us - F.lag(us).over(w)
     marked = events.withColumn(
         "new_session",

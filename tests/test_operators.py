@@ -232,6 +232,36 @@ def test_brute_force_topk_matches_numpy(emb_df):
             assert math.isclose(r.cos, c, rel_tol=1e-9)
 
 
+def test_cosine_scores_degenerate_vectors(spark):
+    """Null/empty/ragged vectors must not crash the stage: null -> null,
+    empty -> NaN (both dropped by threshold filters), valid rows exact."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, None),
+        (2, []),
+        (3, [0.5, 0.5]),  # ragged vs row 0
+        (4, [2.0, 0.0, 0.0]),
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    out = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", dedup.cosine_scores(F.col("va"), F.col("vb")).alias("cos"))
+        .collect()
+    )
+    got = {(r.ia, r.ib): r.cos for r in out}
+    assert got[(0, 4)] == 1.0
+    # every degenerate combination -> null (sorts last in desc top-k,
+    # dropped by threshold filters; Arrow maps NaN to null regardless)
+    for pair in ((0, 1), (1, 4), (0, 2), (2, 4), (0, 3), (3, 4), (2, 5)):
+        assert got[pair] is None, pair
+    # threshold filter drops every degenerate pair without failing
+    kept = dedup.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in kept} == {(0, 4)}
+
+
 def test_embedding_near_dup_pairs(emb_df):
     pairs = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(emb_df, threshold=0.98).collect()}
     assert pairs  # tight clusters produce near-dups

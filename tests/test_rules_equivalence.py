@@ -79,6 +79,17 @@ def test_lm_batch_matches_per_row(corpus):
     assert lm.perplexities(wide).tolist() == [lm.perplexity(t) for t in wide]
 
 
+def test_lm_batch_handles_none_rows():
+    """A null text row must score as "" in place — not shift every later
+    row's slot (the flush sentinel must be distinct from None)."""
+    lm = get_lm()
+    texts = ["hello world text", None, "another document here", None, "tail"]
+    got = lm.perplexities(texts).tolist()
+    want = [lm.perplexity(t if t is not None else "") for t in texts]
+    assert got == want
+    assert lm.perplexities([None]).tolist() == [0.0]
+
+
 def test_lm_surrogates_score_as_oov():
     """Lone surrogates (surrogateescape-decoded input) must score, not crash."""
     lm = get_lm()

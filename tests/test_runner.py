@@ -172,6 +172,34 @@ def test_retry_commits_metrics_exactly_once(spark, pages_path, tmp_path, monkeyp
     assert metrics["docs_seen"].sum() == 500
 
 
+def test_failed_run_leaves_no_phantom_metrics(spark, pages_path, tmp_path, monkeypatch):
+    """Metrics/quarantine commit before the chunk rename; when a run fails
+    terminally, the provisional rows of never-committed chunks must be
+    removed — metrics must exist iff the chunk committed."""
+    import pytest as _pytest
+
+    real_rename = os.rename
+
+    def deny_chunk_promotion(src, dst):
+        if "/chunk=" in dst.replace("\\", "/"):
+            raise OSError("injected promotion failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(R.os, "rename", deny_chunk_promotion)
+    cfg = _config(pages_path, tmp_path / "outf", max_attempts=1)
+    with _pytest.raises(OSError):
+        R.run_quality_filter(spark, cfg)
+    metrics_dir = os.path.join(cfg.output_root, "metrics")
+    leftover = [f for f in os.listdir(metrics_dir)] if os.path.isdir(metrics_dir) else []
+    assert leftover == [], leftover
+    assert not os.path.isdir(os.path.join(cfg.output_root, "failed_rows", f"run_id={R.run_fingerprint(cfg)}"))
+    cat = R.read_table(spark, cfg.output_root, "runs_catalog").toPandas()
+    assert "FAILED" in set(cat["status"])
+    # no staging garbage accumulates either
+    run_dir = os.path.join(cfg.output_root, "runs", R.run_fingerprint(cfg))
+    assert not [d for d in os.listdir(run_dir) if ".staging-" in d]
+
+
 def test_cancel_run_records_catalog(spark, pages_path, tmp_path):
     cfg = _config(pages_path, tmp_path / "outc")
     run_id = R.cancel_run(cfg)

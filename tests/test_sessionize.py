@@ -73,3 +73,24 @@ def test_stream_sessions_match_batch_twin(spark, events_src, tmp_path):
     assert got["session_end"].tolist() == batch["session_end"].tolist()
     for a, b in zip(got["total_value"], batch["total_value"]):
         assert abs(a - b) < 1e-9
+
+
+def test_sessionize_epochs_are_timezone_invariant(spark):
+    """The oracle-checked epoch outputs must not move with
+    spark.sql.session.timeZone (the driver's session tz is unknown)."""
+    from curator_spark import queries as q
+
+    def run():
+        return sorted(
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in q.Q["sessionize_events"](spark, "/root/testdata/sf0.001").collect()
+        )
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    utc = run()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert utc == nyc and len(utc) > 0
