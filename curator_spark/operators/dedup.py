@@ -589,9 +589,13 @@ def cosine_scores(a: Column, b: Column) -> Column:
             # representable choice here.
             if x is None or y is None:
                 return None
-            xa = np.asarray(x, dtype=np.float64)
-            ya = np.asarray(y, dtype=np.float64)
-            if xa.size != ya.size or xa.size == 0:
+            try:  # an array WITH a null element raises on conversion —
+                # still a degenerate row, still NULL (never crash the stage)
+                xa = np.asarray(x, dtype=np.float64)
+                ya = np.asarray(y, dtype=np.float64)
+            except (TypeError, ValueError):
+                return None
+            if xa.ndim != 1 or xa.shape != ya.shape or xa.size == 0:
                 return None
             return _seq_dot(xa, ya) / (
                 np.sqrt(_seq_dot(xa, xa)) * np.sqrt(_seq_dot(ya, ya))

@@ -101,7 +101,26 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: str = "lsh-v1")
     def _bucket(vs):  # no hints: postponed annotations break pandas_udf introspection
         if len(vs) == 0:
             return pd.Series([], dtype="int64")
-        a = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # n×dim
+
+        def row(v):
+            # null / null-element / dimension-mismatched vectors -> null
+            # bucket (dropped by the bucket equi-join), never a stage crash
+            if v is None:
+                return None
+            try:
+                a = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                return None
+            if a.ndim != 1 or a.size != planes.shape[1]:
+                return None
+            return int(((_seq_dot(a, planes) >= 0) * weights).sum())
+
+        try:  # uniform-dim fast path: one stacked cumsum per batch
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in vs])  # n×dim
+            if a.ndim != 2 or a.shape[1] != planes.shape[1]:
+                raise ValueError("degenerate batch")
+        except (TypeError, ValueError):  # ragged/null rows: per-row fallback
+            return pd.Series([row(v) for v in vs], dtype="object")
         # n×planes×dim products, cumsum over dim = sequential fold per dot
         dots = _seq_dot(a[:, None, :], planes[None, :, :])
         return pd.Series(((dots >= 0) * weights).sum(axis=1))
@@ -135,19 +154,44 @@ def _ivf_cells(vec: Column, centroids: np.ndarray, n_probe: int = 1) -> Column:
     """Index(es) of the nearest centroid(s) by cosine — array of the
     n_probe best cells, best first. Vectorized per Arrow batch; sequential
     cumsum dots (deterministic); ties resolve to the lowest cell index."""
-    c_norm = centroids / np.sqrt((centroids * centroids).cumsum(axis=1)[:, -1:])
+    # zero-norm guard on the CENTROIDS too (a zero corpus vector sampled as a
+    # centroid must not poison every row's sims with NaN)
+    cn = np.sqrt((centroids * centroids).cumsum(axis=1)[:, -1:])
+    c_norm = centroids / np.where(cn == 0, 1.0, cn)
 
     @F.pandas_udf("array<int>")
     def _cells(vs):  # no hints: postponed annotations break pandas_udf introspection
         if len(vs) == 0:
             return pd.Series([], dtype="object")
-        a = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        norms = np.sqrt(_seq_dot(a, a))[:, None]
-        an = a / np.where(norms == 0, 1.0, norms)
-        sims = _seq_dot(an[:, None, :], c_norm[None, :, :])
-        # stable argsort descending: kind='stable' on -sims keeps low index on ties
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+
+        def assign(a):
+            norms = np.sqrt(_seq_dot(a, a))[..., None]
+            an = a / np.where(norms == 0, 1.0, norms)
+            sims = _seq_dot(an[:, None, :], c_norm[None, :, :])
+            # stable argsort desc: kind='stable' on -sims keeps low index on ties
+            return np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+
+        def row(v):
+            # null / null-element / dim-mismatched vectors -> null cell list
+            # (dropped by the cell equi-join), never a stage crash
+            if v is None:
+                return None
+            try:
+                a = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                return None
+            if a.ndim != 1 or a.size != c_norm.shape[1]:
+                return None
+            return assign(a[None, :])[0].astype("int32").tolist()
+
+        try:  # uniform-dim fast path: one stacked cumsum per batch
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            if a.ndim != 2 or a.shape[1] != c_norm.shape[1]:
+                raise ValueError("degenerate batch")
+        except (TypeError, ValueError):
+            return pd.Series([row(v) for v in vs], dtype="object")
+        order = assign(a)
+        return pd.Series([r.astype("int32").tolist() for r in order])
 
     return _cells(vec)
 

@@ -388,6 +388,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
+    """ORACLE-SCALE ONLY as registered: ``pairs=None`` means ALL (a<b)
+    pairs — O(n^2) shingle self-join. At corpus scale pass the capped LSH
+    candidates instead (|candidates| joins) — ``minhash_jaccard_dedup``
+    below is that production composition."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), w=3)
 
 
@@ -440,18 +444,95 @@ def q_near_dup_components(spark, sf_dir):
     """Transitive duplicate clusters: connected components (min-label) over
     the exact all-pairs Jaccard>=0.5 graph — oracle-checked against a
     DuckDB recursive CTE. The iterative Spark operator
-    (dedup.connected_components) is the same one the scale path uses."""
+    (dedup.connected_components) is the same one the scale path uses.
+    ORACLE-SCALE ONLY as registered: the edge feed is the all-pairs
+    ``ngram_jaccard`` (O(n^2)); at corpus scale feed it LSH-verified pairs
+    as ``minhash_jaccard_dedup`` / ``near_dup_survivors`` do."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, w=3, threshold=0.5).select("id_a", "id_b")
     return dedup.connected_components(pairs)
 
 
-@_register("near_dup_survivors")  # scale composition -> rows-only; components
-# and every upstream operator are oracle-checked individually
+# Shared CTE chain for the PRODUCTION dedup composition: exact-dedup
+# survivors -> minhash signatures -> banded LSH with the 200-doc bucket cap
+# -> candidate-restricted distinct-shingle Jaccard. Every fragment is the
+# same (already oracle-verified) SQL as the per-operator oracles above —
+# composed so the production path itself is hash-checked end-to-end.
+_CAPPED_LSH_JACCARD_CTES = f"""
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    docs AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM docs),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(w) - 1),
+                                 i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) END AS s
+      FROM toks),
+    sig AS (
+      SELECT doc_id,
+        list_transform(range(0, 8), j -> list_min(list_transform(s, x -> md5(j || '|' || x)))) AS sg
+      FROM sh WHERE len(s) > 0),
+    banded AS (
+      SELECT DISTINCT doc_id, band FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 4),
+                      b -> md5(b || ',' || sg[CAST(b * 2 + 1 AS INTEGER)] || ',' || sg[CAST(b * 2 + 2 AS INTEGER)]))) AS band
+        FROM sig)),
+    capped AS (
+      SELECT doc_id, band FROM (
+        SELECT doc_id, band, COUNT(*) OVER (PARTITION BY band) AS bn FROM banded)
+      WHERE bn <= 200),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM capped a JOIN capped b ON a.band = b.band AND a.doc_id < b.doc_id),
+    shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+    nz AS (SELECT doc_id, s FROM shd WHERE len(s) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS sng FROM nz),
+    na AS (SELECT doc_id, len(s) AS n FROM nz),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN ex x ON c.id_a = x.doc_id
+      JOIN ex y ON c.id_b = y.doc_id AND x.sng = y.sng
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT i.id_a, i.id_b, i.inter,
+             (a.n + b.n - i.inter) AS union_sz,
+             i.inter / (a.n + b.n - i.inter) AS jaccard
+      FROM inter i
+      JOIN na a ON i.id_a = a.doc_id
+      JOIN na b ON i.id_b = b.doc_id
+      WHERE i.inter / (a.n + b.n - i.inter) >= 0.5)
+"""
+
+
+@_register(
+    "near_dup_survivors",
+    f"""
+    WITH RECURSIVE {_CAPPED_LSH_JACCARD_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM edges
+      UNION
+      SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+      WHERE c.lbl <> e.dst),
+    comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    groups AS (SELECT md5(text) AS fp_md5, COUNT(*) AS group_size,
+                      MIN(doc_id) AS doc_id
+               FROM documents GROUP BY 1)
+    SELECT g.doc_id, g.fp_md5, g.group_size
+    FROM groups g LEFT JOIN losers l ON g.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    """,
+)
 def q_near_dup_survivors(spark, sf_dir):
     """End-to-end dedup: exact-dedup -> capped LSH -> Jaccard verify ->
     connected components -> one survivor (min doc_id) per duplicate
-    cluster."""
+    cluster. Oracle-exact: the DuckDB twin composes the verified per-stage
+    SQL (capped-LSH Jaccard CTEs + recursive-CTE components)."""
     return dedup.near_dup_survivors(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -495,15 +576,21 @@ def q_simhash_md5(spark, sf_dir):
     return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
 
 
-@_register("minhash_jaccard_dedup")  # composition == production scale path
+@_register(
+    "minhash_jaccard_dedup",
+    f"""
+    WITH {_CAPPED_LSH_JACCARD_CTES}
+    SELECT id_a, id_b, inter, union_sz, jaccard FROM jac
+    """,
+)
 def q_minhash_jaccard_dedup(spark, sf_dir):
     """The near-dup scale path, fully composed: exact-dedup first (so
     byte-identical boilerplate collapses to one representative and can never
     flood an LSH bucket), LSH candidate generation with a hot-bucket cap
     (any bucket the cap still catches is dropped, not exploded into B^2/2
     pairs), then exact Jaccard verification restricted to candidates
-    (|candidates| joins, never n^2). Rows-only here; the component
-    operators are oracle-checked above."""
+    (|candidates| joins, never n^2). Oracle-exact: the DuckDB twin composes
+    the verified per-stage SQL into the same chain."""
     docs = _t(spark, sf_dir, "documents")
     survivors = docs.join(
         dedup.exact_dedup(docs).select("doc_id"), "doc_id", "left_semi"
@@ -1376,3 +1463,23 @@ def q_pipeline_verdicts(spark, sf_dir):
         "keep",
         F.concat_ws(",", "drop_rules").alias("drop_rules_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-evidence ordering. The round-2 driver recorded exactly the first 50
+# registrations of 53 and dropped the tail (CORRECTNESS_r02 / VERDICT.md #1)
+# — the flagship and an oracle-bearing query among them. Re-emit the registry
+# so everything the correctness gate must see comes first: every
+# oracle-bearing query (in registration order), then the flagship +
+# near-flagship rows-only queries, then the remaining rows-only entries whose
+# verification lives in pytest anyway (python twins / approx-by-design).
+# ---------------------------------------------------------------------------
+
+_EARLY_ROWS_ONLY = ["pipeline_verdicts", "classifier_predict", "near_dup_survivors",
+                    "minhash_jaccard_dedup"]
+_ORDER = (
+    [n for n in Q if n in ORACLE]
+    + [n for n in _EARLY_ROWS_ONLY if n not in ORACLE]
+    + [n for n in Q if n not in ORACLE and n not in _EARLY_ROWS_ONLY]
+)
+Q = {n: Q[n] for n in _ORDER}

@@ -49,7 +49,12 @@ def split_valid_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     The parsed frame is cached first: Spark refuses queries that project
     ONLY the corrupt-record column from a raw JSON scan (the parser would
     skip parsing entirely and report nothing corrupt) — caching the parsed
-    rows is the documented contract for consuming the quarantine side."""
+    rows is the documented contract for consuming the quarantine side.
+
+    CACHE LIFETIME IS CALLER-OWNED: Spark keys the cache on the logical
+    plan, so after materializing both sides call ``df.unpersist()`` on the
+    SAME frame you passed in to release the cached partitions — otherwise
+    repeated calls in a long-lived session accumulate cached blocks."""
     df = df.cache()
     valid = df.filter(F.col("ok")).drop("ok", "raw_error")
     corrupt = df.filter(~F.col("ok")).select("raw_error")
