@@ -616,12 +616,13 @@ def cosine_scores(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_pairs_brute(
     emb: DataFrame, key: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
 ) -> DataFrame:
-    """All (a<b) pairs with cosine >= threshold. O(n^2) — correctness oracle
-    scale only; the production path buckets by LSH sign-sketch first
-    (similarity.lsh_ann) so each bucket's pair count stays bounded."""
+    """SPEC form: all (a<b) pairs scored through the pair cross join —
+    every pair ships BOTH arrays through Arrow. Kept as the semantic
+    reference the blocked operator is pinned against in tests; never the
+    path to run (O(n^2) rows × O(dim) bytes each through the shuffle)."""
     a = emb.select(F.col(key).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(key).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -629,4 +630,125 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_scores(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    chunk_rows: int = 256,
+) -> DataFrame:
+    """All (a<b) pairs with cosine >= threshold, scored block-at-a-time.
+
+    Blocked matrix plan: each vector gets a content-hash block (md5 of the
+    key mod B — reshuffle-stable), is replicated to the B block-pair groups
+    it participates in (ONE shuffle of n·B narrow rows — each row one id +
+    one vector, never a pair of vectors), and every block-pair task scores
+    its cross product as numpy matrices via ``applyInPandas``. Compared to
+    the pair cross join this ships each vector B times instead of n times
+    (~n/B fewer bytes through Arrow) and replaces 2·dim-element python rows
+    with one vectorized cumsum per chunk.
+
+    Still exact all-pairs semantics (every unordered pair lands in exactly
+    one block-pair group, so no dedup pass is needed) — total WORK remains
+    O(n^2·dim/cluster); this is the exact operator with distributed-matrix
+    constants. For sub-quadratic near-dup at corpus scale, block by
+    sign-LSH / simhash first (similarity.lsh_ann, simhash_near_pairs).
+
+    Scoring is bit-identical to ``cosine_scores``'s fold spec (sequential
+    cumsum dots, IEEE sqrt/divide; degenerate rows — null / null-element /
+    dim-mismatched vs their partner — can never pass the threshold, exactly
+    like the NULL cosines of the pair form). ``n_blocks``: pick ≈
+    sqrt(2·tasks_wanted); per-task memory is bounded by
+    chunk_rows·(n/B)·dim·8 bytes via row-chunking.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = n_blocks
+    id_type = dict(emb.dtypes)[key]
+    blk = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("long")
+        % F.lit(B)
+    ).cast("int")
+    other = F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other")
+    replicated = (
+        emb.select(F.col(key).alias("id"), F.col(vec_col).alias("v"), blk.alias("blk"))
+        .select("id", "v", "blk", other)
+        .withColumn(
+            "pair", F.least(F.col("blk"), F.col("other")) * B + F.greatest(F.col("blk"), F.col("other"))
+        )
+        .drop("other")
+    )
+
+    def _parse(series):
+        """Per-row vector parse; invalid rows -> None (same rows the pair
+        form scores as NULL)."""
+        out = []
+        for v in series:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                a = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                out.append(None)
+                continue
+            out.append(a if a.ndim == 1 and a.size > 0 else None)
+        return out
+
+    def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pair = int(pdf["pair"].iloc[0])
+        i, j = divmod(pair, B)
+        vecs = _parse(pdf["v"])
+        ids = pdf["id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        # score per embedding dimension present (cross-dim pairs are NULL
+        # cosines in the spec form -> never emitted)
+        dims = sorted({a.size for a in vecs if a is not None})
+        for dim in dims:
+            valid = np.array([a is not None and a.size == dim for a in vecs])
+            if i == j:
+                sel = valid
+                X = np.stack([a for a, m in zip(vecs, valid) if m]) if sel.any() else None
+                if X is None or len(X) < 2:
+                    continue
+                xid = ids[valid]
+                Y, yid, upper = X, xid, True
+            else:
+                ma = valid & (blks == i)
+                mb = valid & (blks == j)
+                if not ma.any() or not mb.any():
+                    continue
+                X = np.stack([a for a, m in zip(vecs, ma) if m])
+                Y = np.stack([a for a, m in zip(vecs, mb) if m])
+                xid, yid, upper = ids[ma], ids[mb], False
+            nx = np.sqrt(_seq_dot(X, X))
+            ny = np.sqrt(_seq_dot(Y, Y))
+            for s in range(0, len(X), chunk_rows):
+                Xc = X[s : s + chunk_rows]
+                # (c, nY, dim) products, cumsum over dim = the sequential
+                # fold, per pair — bit-equal to cosine_scores
+                dot = (Xc[:, None, :] * Y[None, :, :]).cumsum(axis=2)[:, :, -1]
+                cos = dot / (nx[s : s + chunk_rows, None] * ny[None, :])
+                hit = cos >= threshold  # NaN (zero-norm) never passes
+                if upper:
+                    # only a<b by POSITION to visit each unordered pair once
+                    hit &= (s + np.arange(Xc.shape[0]))[:, None] < np.arange(len(Y))[None, :]
+                ha, hb = np.nonzero(hit)
+                if ha.size:
+                    ia, ib = xid[s + ha], yid[hb]
+                    out_a.extend(np.minimum(ia, ib).tolist())
+                    out_b.extend(np.maximum(ia, ib).tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return (
+        replicated.groupBy("pair")
+        .applyInPandas(_score_block, schema=f"id_a {id_type}, id_b {id_type}")
+        .select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"))
     )

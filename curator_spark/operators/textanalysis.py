@@ -130,9 +130,10 @@ def token_budget_pack(
     N-billion tokens").
 
     Exact integer running sum -> oracle-exact. The window here is GLOBAL
-    (single ordered pass) — fine at verification scale; at 10^12 docs the
-    budget is allocated per url-hash bucket (budget/k per bucket, same
-    operator under a partitionBy) so no single-partition sort exists.
+    (single ordered pass) — it exists as the semantic spec / oracle twin of
+    ``token_budget_pack_bucketed`` below, which is the scale form (per-bucket
+    budget under a partitionBy, no single-partition sort). Tests pin
+    bucketed(k=1) == global.
     """
     from pyspark.sql import Window
 
@@ -150,6 +151,52 @@ def token_budget_pack(
         ranked.withColumn("running_tokens", running.cast("long"))
         .filter(F.col("running_tokens") <= budget)
         .select(key, "score", "n_bpe_tokens", "running_tokens")
+    )
+
+
+def token_budget_pack_bucketed(
+    df: DataFrame, budget: int, k: int, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Scale form of ``token_budget_pack``: the budget is allocated per
+    content-hash bucket (``budget // k`` tokens to each of ``k`` buckets)
+    and the running-sum window runs under ``partitionBy(bucket)`` — k
+    independent sorted partitions instead of ONE global sort, so the plan
+    scales out (pick k ≈ executor count; each bucket's rows fit one task).
+
+    The bucket is a pure content hash of the key (first 16 md5 bits mod k)
+    — reshuffle/retry-stable, uniform, and computable identically in the
+    DuckDB oracle. Because membership is hash-uniform, the per-bucket packs
+    approximate the global pack's quality mix with budget-fraction variance
+    O(1/sqrt(k)) — the standard distributed-quota design. k=1 is exactly
+    the global operator (pinned by a test).
+
+    Output adds the ``bucket`` column; ``running_tokens`` is the
+    within-bucket running sum.
+    """
+    from pyspark.sql import Window
+
+    scored = quality_score(df, text_col, key).select(key, "score")
+    toks = token_stats(df, text_col, key).select(key, "n_bpe_tokens")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("long")
+        % F.lit(k)
+    )
+    ranked = scored.join(toks, key).withColumn("bucket", bucket)
+    order = [
+        F.col("score").desc(),
+        F.md5(F.col(key).cast("string")),
+        F.col(key),
+    ]
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum("n_bpe_tokens").over(w)
+    return (
+        ranked.withColumn("running_tokens", running.cast("long"))
+        .filter(F.col("running_tokens") <= budget // k)
+        .select(key, "bucket", "score", "n_bpe_tokens", "running_tokens")
     )
 
 

@@ -964,8 +964,54 @@ def q_deterministic_sample(spark, sf_dir):
 def q_token_budget_pack(spark, sf_dir):
     """Data mixing under a token budget: best-quality docs first
     (content-hash tie-break) until the running BPE-token sum hits the
-    budget — exact integer window sums, oracle-exact."""
+    budget — exact integer window sums, oracle-exact. GLOBAL window form
+    (the semantic spec); ``token_budget_pack_bucketed`` is the scale path."""
     return textanalysis.token_budget_pack(_t(spark, sf_dir, "documents"), budget=20000)
+
+
+@_register(
+    "token_budget_pack_bucketed",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+        length(text) AS n_chars, len(w) AS n_words,
+        len(list_filter(w, x -> list_contains({_sql_lex_list('en')}, lower(x)))) AS stop_hits,
+        length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_symbols,
+        len(list_distinct(list_transform(w, x -> lower(x)))) AS n_distinct
+      FROM t),
+    f AS (
+      SELECT doc_id,
+        least(greatest(5 - (
+          CAST((n_chars < {rules.MIN_CHARS} OR n_chars > {rules.MAX_CHARS}) AS INTEGER)
+          + CAST((n_words > 0 AND n_symbols / n_words > {rules.MAX_SYMBOL_RATIO}) AS INTEGER)
+          + CAST((n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS INTEGER)
+          + CAST((n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS INTEGER)
+        ), 0), 5) AS score,
+        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4 AS bucket
+      FROM s),
+    tok AS (SELECT doc_id, len(regexp_extract_all(text, '{_BPE}')) AS n_bpe FROM documents),
+    r AS (
+      SELECT f.doc_id, f.bucket, f.score, tok.n_bpe,
+             SUM(tok.n_bpe) OVER (PARTITION BY f.bucket
+                                  ORDER BY f.score DESC,
+                                  md5(CAST(f.doc_id AS VARCHAR)), f.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running
+      FROM f JOIN tok ON f.doc_id = tok.doc_id)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(score AS INTEGER) AS score,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CAST(running AS BIGINT) AS running_tokens
+    FROM r WHERE running <= 5000
+    """,
+)
+def q_token_budget_pack_bucketed(spark, sf_dir):
+    """Scale form of token_budget_pack: budget//k tokens allocated per
+    content-hash bucket, running sum under partitionBy(bucket) — k sorted
+    partitions instead of one global sort. Oracle-exact (same integer
+    window sums per bucket)."""
+    return textanalysis.token_budget_pack_bucketed(
+        _t(spark, sf_dir, "documents"), budget=20000, k=4
+    )
 
 
 @_register(

@@ -327,3 +327,66 @@ def test_lsh_ann_scores_are_true_cosines(emb_df):
     for r in out:
         assert math.isclose(r.cos, _np_cos(vecs[r.qid], vecs[r.id]), rel_tol=1e-9)
         assert 1 <= r.rank <= 4
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing: bucketed scale form vs the global spec.
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_pack_bucketed_k1_equals_global(spark):
+    from curator_spark.operators import textanalysis
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    glob = {
+        (r.doc_id, r.score, r.n_bpe_tokens, r.running_tokens)
+        for r in textanalysis.token_budget_pack(docs, budget=20000).collect()
+    }
+    b1 = {
+        (r.doc_id, r.score, r.n_bpe_tokens, r.running_tokens)
+        for r in textanalysis.token_budget_pack_bucketed(docs, budget=20000, k=1).collect()
+    }
+    assert b1 == glob  # k=1 bucket: identical membership AND running sums
+
+
+def test_token_budget_pack_bucketed_respects_per_bucket_quota(spark):
+    from curator_spark.operators import textanalysis
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textanalysis.token_budget_pack_bucketed(docs, budget=20000, k=4).collect()
+    assert out
+    assert {r.bucket for r in out} <= set(range(4))
+    by_bucket: dict[int, int] = {}
+    for r in out:
+        by_bucket[r.bucket] = max(by_bucket.get(r.bucket, 0), r.running_tokens)
+    for mx in by_bucket.values():
+        assert mx <= 20000 // 4  # each bucket stays within its quota
+
+
+def test_embedding_near_dup_blocked_equals_brute(spark, emb_df):
+    """The blocked matrix scorer is pinned pair-for-pair against the spec
+    (pair-cross-join) form — including at a negative threshold, where even
+    anti-correlated valid pairs are emitted, and across block counts."""
+    for thr in (0.98, 0.5, -1.0):
+        brute = {
+            (r.id_a, r.id_b)
+            for r in dedup.embedding_near_dup_pairs_brute(emb_df, threshold=thr).collect()
+        }
+        for n_blocks in (1, 3, 8):
+            blocked = {
+                (r.id_a, r.id_b)
+                for r in dedup.embedding_near_dup_pairs(
+                    emb_df, threshold=thr, n_blocks=n_blocks, chunk_rows=7
+                ).collect()
+            }
+            assert blocked == brute, (thr, n_blocks)
+    # degenerate rows (null / empty / ragged) behave like the spec's NULLs
+    rows = [(0, [1.0, 0.0]), (1, None), (2, []), (3, [0.5, 0.5, 0.1]), (4, [2.0, 0.0]),
+            (5, [0.5, 0.6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.9, -2.0):
+        brute = {(r.id_a, r.id_b)
+                 for r in dedup.embedding_near_dup_pairs_brute(df, threshold=thr).collect()}
+        blocked = {(r.id_a, r.id_b)
+                   for r in dedup.embedding_near_dup_pairs(df, threshold=thr, n_blocks=3).collect()}
+        assert blocked == brute, thr

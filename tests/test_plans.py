@@ -115,3 +115,18 @@ def test_pipeline_has_no_interpreted_hof_in_hot_path(pages_df):
     plan = _plan(quality_filter(pages_df))
     assert "zip_with" not in plan
     assert "aggregate(" not in plan
+
+
+def test_token_budget_pack_bucketed_window_is_hash_partitioned(spark):
+    """The bucketed pack's running-sum window must sort WITHIN hash
+    partitions of the bucket key — never a SinglePartition global sort
+    (the 100x-scale failure mode of the global form)."""
+    from curator_spark.operators import textanalysis
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textanalysis.token_budget_pack_bucketed(docs, budget=20000, k=8))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(bucket" in plan
+
+    glob = _plan(textanalysis.token_budget_pack(docs, budget=20000))
+    assert "SinglePartition" in glob  # the spec form really is global
