@@ -146,17 +146,20 @@ def _score_texts(trunc: list[str]) -> pd.DataFrame:
     stop_hits / token counts ride along from the langid vote (already
     tokenized) so the JVM never re-tokenizes: no stopword alternation
     regex, no split, no array_distinct in the downstream heuristics."""
+    if not trunc:  # zip(*[]) cannot unpack; emit an empty typed frame
+        return pd.DataFrame({f.name: [] for f in _TEXT_SCORE_SCHEMA.fields})
     lm = get_lm()
-    lid = [rules.langid_token_stats(t) for t in trunc]
+    lid = rules.langid_token_stats_batch(trunc)
     ppl = lm.perplexities(trunc)
     scr = [rules.scrub_text(t) for t in trunc]
+    lang_pred, lang_conf, stop_hits, tok_words, tok_distinct = zip(*lid)
     return pd.DataFrame(
         {
-            "lang_pred": [x[0] for x in lid],
-            "lang_conf": [x[1] for x in lid],
-            "stop_hits": [x[2] for x in lid],
-            "tok_words": [x[3] for x in lid],
-            "tok_distinct": [x[4] for x in lid],
+            "lang_pred": lang_pred,
+            "lang_conf": lang_conf,
+            "stop_hits": stop_hits,
+            "tok_words": tok_words,
+            "tok_distinct": tok_distinct,
             "perplexity": ppl,
             "scrubbed_text": [x[0] for x in scr],
             "scrub_email": [x[1]["email"] for x in scr],

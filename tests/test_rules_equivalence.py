@@ -107,3 +107,57 @@ def test_lm_encoder_matches_char_dict(corpus):
             (_CHAR_TO_ID.get(c, _OOV) for c in lowered), dtype=np.int64, count=len(lowered)
         )
         assert np.array_equal(new, old), t[:80]
+
+
+def test_tokens_fast_path_equals_spec(corpus):
+    for t in corpus + ADVERSARIAL:
+        assert rules.tokens(t) == rules.tokens_spec(t), repr(t)
+    # the exact boundary cases the guard exists for
+    tricky = [
+        "a\x1cb c",        # ASCII file separator: str.split would split it
+        "a\x1db\x1ec\x1fd",
+        " \x1c ",
+        "a\xa0b",          # unicode NBSP: not a token boundary in the spec
+        "a b  ", # unicode line/paragraph separators
+        "x\x85y",          # NEL
+        "a\x0bb\x0cc",     # \v \f ARE ASCII whitespace in both paths
+        "  leading and trailing  ",
+        "\xa0",            # unicode-ws-only text
+        "mixed ascii then \xa0 unicode",
+    ]
+    for t in tricky:
+        assert rules.tokens(t) == rules.tokens_spec(t), repr(t)
+
+
+def test_tokens_fast_path_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(
+        list("ab 1.\t\n\r\f\v") + ["\x1c", "\x1d", "\x1e", "\x1f", "\xa0", " ", "é", "ب"]
+    )
+
+    @given(st.text(alphabet=alphabet, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(t):
+        assert rules.tokens(t) == rules.tokens_spec(t)
+
+    check()
+
+
+def test_langid_batch_equals_per_row(corpus):
+    """The batch fast path (one separator scan per batch, inlined ASCII
+    tokenize) must be bit-identical to per-row langid_token_stats — incl.
+    mixed batches (ascii + arabic + cjk + separators + None-adjacent)."""
+    batches = [
+        corpus,
+        ADVERSARIAL,
+        corpus + ADVERSARIAL,
+        ["a\x1cb c", "plain ascii text here", "هذا نص عربي"],  # fs char poisons batch guard
+        ["", " ", "\t"],
+        ["the and of to in is are the quick brown"],
+    ]
+    for batch in batches:
+        got = rules.langid_token_stats_batch(batch)
+        want = [rules.langid_token_stats(t) for t in batch]
+        assert got == want
