@@ -133,21 +133,46 @@ def ivf_centroids(
     n_centroids: int,
     key: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+    sample_size: int = 2048,
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: n_centroids corpus vectors chosen
     by content-hash order (md5 of the key — the same reshuffle-stable
-    sampling as `deterministic_sample`). No iterative k-means: sampled
-    centroids already give the IVF plan its shape (cell assignment ->
-    cell-local search), and determinism beats a few percent of recall here;
-    a Lloyd refinement would slot in between sample and broadcast.
-    Driver-side size is n_centroids × dim floats — broadcast-trivial."""
+    sampling as `deterministic_sample`), optionally refined with
+    ``lloyd_iters`` rounds of spherical k-means over a bounded
+    content-hash-ordered sample.
+
+    Determinism (SURVEY §7): the sample is the FIRST ``sample_size`` rows of
+    the same md5 ordering (collect preserves orderBy order), the iteration
+    count is fixed (no convergence early-exit), assignment ties resolve to
+    the lowest centroid index (np.argmax), and empty cells keep their
+    previous centroid — the result is a pure function of (corpus content,
+    n_centroids, lloyd_iters, sample_size), identical across reruns. Lloyd
+    runs DRIVER-SIDE on the bounded sample (sample_size × dim floats —
+    collect-trivial; the classic sample-then-broadcast quantizer build), so
+    executors only ever see the finished broadcast centroids.
+    """
     rows = (
         corpus.select(F.col(key).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
-        .limit(n_centroids)
+        .limit(max(n_centroids, sample_size if lloyd_iters else n_centroids))
         .collect()
     )
-    return np.array([list(r.v) for r in rows], dtype=np.float64)
+    sample = np.array([list(r.v) for r in rows], dtype=np.float64)
+    cents = sample[:n_centroids].copy()
+    if lloyd_iters <= 0 or len(sample) <= n_centroids:
+        return cents
+    xn = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
+    X = sample / np.where(xn == 0, 1.0, xn)
+    for _ in range(lloyd_iters):
+        cn = np.sqrt((cents * cents).sum(axis=1, keepdims=True))
+        C = cents / np.where(cn == 0, 1.0, cn)
+        assign = np.argmax(X @ C.T, axis=1)  # ties -> lowest index
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
 
 
 def _ivf_cells(vec: Column, centroids: np.ndarray, n_probe: int = 1) -> Column:
@@ -204,6 +229,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     key: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query searches its n_probe nearest cells only.
@@ -215,7 +241,7 @@ def ivf_ann_topk(
     At 10^12 vectors the centroid table stays broadcast-sized (even 2^20
     centroids × 768 dims ≈ 3 GB fp32 — shard or PQ-compress beyond that).
     """
-    centroids = ivf_centroids(corpus, n_centroids, key, vec_col)
+    centroids = ivf_centroids(corpus, n_centroids, key, vec_col, lloyd_iters=lloyd_iters)
     c = corpus.select(
         F.col(key).alias("id"),
         F.col(vec_col).alias("cv"),

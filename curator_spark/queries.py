@@ -638,11 +638,14 @@ def q_lsh_ann_topk(spark, sf_dir):
 @_register("ivf_ann_topk")  # approximate by design -> rows-only driver check
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF-bucketed ANN (coarse-quantizer cells instead of LSH sign bits;
-    same one-shuffle plan shape). Deterministic centroids via content-hash
-    sampling; scores are exact cosines of the probed candidates."""
+    same one-shuffle plan shape). Deterministic content-hash-sampled
+    centroids refined with 2 Lloyd rounds (driver-side spherical k-means
+    over a bounded deterministic sample — recall up at equal probe cost,
+    pinned in tests); scores are exact cosines of the probed candidates."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=3
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=3,
+        lloyd_iters=2,
     )
     return out.withColumnRenamed("rank", "rnk")
 
