@@ -249,12 +249,24 @@ def main() -> None:
     # single-shot timing can read 10-30x high; the second pass lands several
     # minutes after the first and the min discards whichever pass a window
     # swallowed (same de-noising rationale as the interleaved scaling runs)
+    samples: dict[str, list[float]] = {}
     for _pass in range(2):
         for name in HEADLINE:
             t0 = time.monotonic()
             _materialize(q.Q[name](spark, SF_DIR))
-            wall = round(time.monotonic() - t0, 3)
-            timings[name] = min(timings.get(name, wall), wall)
+            samples.setdefault(name, []).append(round(time.monotonic() - t0, 3))
+    # adaptive third pass: two samples disagreeing >1.5x mean at least one
+    # was steal-hit — one extra sample minutes later usually escapes the
+    # window (a window long enough to swallow ALL passes is indistinguishable
+    # from truth; the scaling loop's spacing bounds that risk)
+    for name in HEADLINE:
+        s = samples[name]
+        if max(s) / max(min(s), 1e-9) > 1.5:
+            t0 = time.monotonic()
+            _materialize(q.Q[name](spark, SF_DIR))
+            s.append(round(time.monotonic() - t0, 3))
+    for name in HEADLINE:
+        timings[name] = min(samples[name])
     spark.stop()
 
     out = {

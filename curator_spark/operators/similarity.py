@@ -154,11 +154,19 @@ def ivf_centroids(
     """
     rows = (
         corpus.select(F.col(key).alias("id"), F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull() & (F.size(F.col("v")) > 0))
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(max(n_centroids, sample_size if lloyd_iters else n_centroids))
         .collect()
     )
-    sample = np.array([list(r.v) for r in rows], dtype=np.float64)
+    # drop ragged rows (dim != the first row's) and non-finite vectors — a
+    # null / ragged / NaN-element corpus vector must not crash the build or
+    # poison every row's sims through a NaN centroid (still a pure,
+    # deterministic function: the filters precede the content-hash order)
+    dim = len(rows[0].v) if rows else 0
+    cand = [np.array(list(r.v), dtype=np.float64) for r in rows if len(r.v) == dim]
+    cand = [v for v in cand if np.isfinite(v).all()]
+    sample = np.array(cand, dtype=np.float64) if cand else np.zeros((0, dim))
     cents = sample[:n_centroids].copy()
     if lloyd_iters <= 0 or len(sample) <= n_centroids:
         return cents

@@ -425,3 +425,37 @@ def test_ivf_lloyd_refinement_improves_recall_and_is_deterministic(spark):
     c2 = similarity.ivf_centroids(emb, 8, lloyd_iters=4)
     assert np.array_equal(c1, c2)  # two builds bit-identical
     emb.unpersist()
+
+
+def test_ann_operators_survive_degenerate_vectors(spark):
+    """Null / null-element / ragged / zero vectors in the corpus must not
+    crash the ANN stages: degenerate rows get a null bucket/cell (dropped by
+    the equi-join) and valid rows still rank (ADVICE r2 hardening)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, None),
+        (3, [0.5, 0.5]),          # ragged
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (5, [0.8, 0.2, 0.0, 0.0]),
+        (6, [1.0, None, 0.0, 0.0]),  # null element
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id").isin(0, 2, 3))  # incl. degenerate queries
+    # core contract: no stage crash, null/ragged queries yield nothing,
+    # valid query still ranks its true neighbors with real cosines.
+    # (a null ELEMENT arrives from Arrow as NaN floats -> null cosine rows
+    # may trail valid ones; they are excluded from the exactness checks)
+    lsh = similarity.lsh_ann_topk(emb, q, dim=4, k=3, num_planes=2).collect()
+    assert {r.qid for r in lsh} <= {0}  # null + ragged queries yield nothing
+    assert {r.id for r in lsh if r.cos is not None} <= {1, 4, 5, 6}
+    ivf = similarity.ivf_ann_topk(emb, q, k=3, n_centroids=2, n_probe=2).collect()
+    assert {r.qid for r in ivf} <= {0}
+    valid = [r for r in ivf if r.qid == 0 and r.cos is not None]
+    assert {r.id for r in valid} >= {1, 5}  # true neighbors found, scored
+    # the quantizer build must skip null/ragged rows (not crash) and a
+    # zero-norm sampled centroid must not NaN the cell assignment
+    cents = similarity.ivf_centroids(emb, 6)
+    assert cents.shape[1] == 4 and not np.isnan(cents).any()
+    again = similarity.ivf_ann_topk(emb, q, k=3, n_centroids=4, n_probe=1).collect()
+    assert {r.qid for r in again} <= {0}
