@@ -316,6 +316,58 @@ def simhash_md5(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     )
 
 
+def simhash_md5_near_pairs(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on the ORACLE-checkable md5
+    SimHash (two 32-bit halves), blocked on 4 16-bit chunks — a pair within
+    hamming <= 3 over the 64 bits must share >= 1 exact chunk (pigeonhole),
+    so the join is bucket-local, never a cross join. Same plan shape as
+    ``simhash_near_pairs`` (the xxhash64 scale variant); this twin exists so
+    the full extract-pairs step — not just the fingerprint — is pinned by
+    the DuckDB oracle. Output: (id_a, id_b, hamming).
+
+    Scale note: chunk buckets collide at rate n/2^16 per chunk — compose
+    ``exact_dedup`` upstream (boilerplate collapses to one row) and widen
+    chunks (c chunks of 64/c bits covers hamming < c) when corpus size
+    makes 16-bit buckets hot; the blocked join itself is the standard
+    pigeonhole design.
+    """
+    sim = simhash_md5(df, text_col, key)
+    chunks = F.array(
+        *[
+            F.concat(
+                F.lit(f"{h}{c}:"),
+                F.shiftrightunsigned(F.col(f"simhash_{h}"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .cast("string"),
+            )
+            for h in ("hi", "lo")
+            for c in range(2)
+        ]
+    )
+    blocked = sim.select(
+        F.col(key).alias("id"),
+        F.col("simhash_hi").alias("hi"),
+        F.col("simhash_lo").alias("lo"),
+        F.explode(chunks).alias("blk"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
+        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance on simhash, blocked on 4 16-bit
     chunks (a pair within hamming<=3 must share >=1 exact chunk — pigeonhole)

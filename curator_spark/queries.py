@@ -541,7 +541,9 @@ def q_simhash_docs(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
-def _simhash_md5_sql() -> str:
+def _simhash_md5_ctes() -> str:
+    """Shared CTE chain ending in ``sim(doc_id, simhash_hi, simhash_lo)`` —
+    used by both the fingerprint oracle and the Hamming near-pairs oracle."""
     vote = lambda h, b: (  # noqa: E731
         f"SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
     )
@@ -553,27 +555,48 @@ def _simhash_md5_sql() -> str:
         for h in ("hi", "lo")
     }
     return f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     wds AS (SELECT doc_id, lower(unnest(w)) AS w FROM t),
     h AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS hi,
              CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) AS lo
       FROM wds),
-    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-    SELECT doc_id,
-           CAST({recombine['hi']} AS BIGINT) AS simhash_hi,
-           CAST({recombine['lo']} AS BIGINT) AS simhash_lo
-    FROM v
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    sim AS (
+      SELECT doc_id,
+             CAST({recombine['hi']} AS BIGINT) AS simhash_hi,
+             CAST({recombine['lo']} AS BIGINT) AS simhash_lo
+      FROM v)
     """
 
 
-@_register("simhash_md5", _simhash_md5_sql())
+@_register("simhash_md5", f"WITH {_simhash_md5_ctes()} SELECT doc_id, simhash_hi, simhash_lo FROM sim")
 def q_simhash_md5(spark, sf_dir):
     """Oracle-checked SimHash twin (md5 word hashes, 32-bit halves) — pins
     the per-bit majority-vote algorithm cross-engine; the xxhash64 variant
     above is the cheap scale path with identical structure."""
     return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "simhash_near_pairs",
+    f"""
+    WITH {_simhash_md5_ctes()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+                + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+          + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3
+    """,
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming near-pair extraction, oracle-exact end to end: the
+    Spark side blocks on 4 exact 16-bit chunks (pigeonhole for hamming<=3 —
+    bucket-local join, never a cross join) while the DuckDB twin scores all
+    pairs; identical output pins that the blocking loses nothing."""
+    return dedup.simhash_md5_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @_register(

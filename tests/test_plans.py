@@ -130,3 +130,31 @@ def test_token_budget_pack_bucketed_window_is_hash_partitioned(spark):
 
     glob = _plan(textanalysis.token_budget_pack(docs, budget=20000))
     assert "SinglePartition" in glob  # the spec form really is global
+
+
+def test_embedding_near_dup_has_no_pair_cross_join(spark):
+    """The blocked near-dup scorer must plan as ONE shuffle on the
+    block-pair key feeding applyInPandas — never the O(n^2) pair join of
+    the brute spec (whose plan IS pinned to contain the nested-loop join,
+    so the contrast stays visible)."""
+    from curator_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(dedup.embedding_near_dup_pairs(emb, threshold=0.9))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _n_nodes(plan, "FlatMapGroupsInPandas") == 1
+    brute = _plan(dedup.embedding_near_dup_pairs_brute(emb, threshold=0.9))
+    assert "BroadcastNestedLoopJoin" in brute or "CartesianProduct" in brute
+
+
+def test_simhash_near_pairs_join_is_bucket_local(spark):
+    """The Hamming pair extraction must equi-join on the 16-bit chunk key
+    (pigeonhole blocking) — never a cross join over all pairs."""
+    from curator_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.simhash_md5_near_pairs(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "BroadcastHashJoin") + _n_nodes(plan, "ShuffledHashJoin") >= 1
