@@ -333,6 +333,14 @@ def simhash_md5_near_pairs(
     makes 16-bit buckets hot; the blocked join itself is the standard
     pigeonhole design.
     """
+    if max_hamming >= 4:
+        # 4 chunks only guarantee a shared exact chunk for hamming < 4; a
+        # larger radius would silently LOSE pairs whose diffs spread one per
+        # chunk — refuse rather than return an incomplete pair set
+        raise ValueError(
+            "simhash_md5_near_pairs blocks on 4 chunks: max_hamming must be <= 3 "
+            f"(got {max_hamming}); widen the chunking for larger radii"
+        )
     sim = simhash_md5(df, text_col, key)
     chunks = F.array(
         *[
@@ -613,6 +621,26 @@ def _seq_dot(a, b):
     return prod.cumsum(axis=-1)[..., -1]
 
 
+def _as_vec(v, dim: int | None = None):
+    """The ONE definition of a usable embedding row: a 1-D float64 vector
+    (optionally of exactly ``dim``) or None for every degenerate shape —
+    null, null-element (conversion raises), nested/scalar, empty, or
+    dim-mismatched. Shared by cosine_scores, the blocked near-dup scorer,
+    and the ANN bucket/cell UDFs so 'what counts as degenerate' cannot
+    drift between operators."""
+    import numpy as np
+
+    if v is None:
+        return None
+    try:
+        a = np.asarray(v, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    if a.ndim != 1 or a.size == 0 or (dim is not None and a.size != dim):
+        return None
+    return a
+
+
 def cosine_scores(a: Column, b: Column) -> Column:
     """Vectorized cosine (Arrow-batched pandas UDF): bit-identical to the
     ``cosine`` fold spec — elementwise double products accumulated in
@@ -639,15 +667,8 @@ def cosine_scores(a: Column, b: Column) -> Column:
             # polluting a desc top-k) nulls sort last. Arrow maps pandas
             # NaN to SQL null anyway, so null is also the only
             # representable choice here.
-            if x is None or y is None:
-                return None
-            try:  # an array WITH a null element raises on conversion —
-                # still a degenerate row, still NULL (never crash the stage)
-                xa = np.asarray(x, dtype=np.float64)
-                ya = np.asarray(y, dtype=np.float64)
-            except (TypeError, ValueError):
-                return None
-            if xa.ndim != 1 or xa.shape != ya.shape or xa.size == 0:
+            xa, ya = _as_vec(x), _as_vec(y)
+            if xa is None or ya is None or xa.shape != ya.shape:
                 return None
             return _seq_dot(xa, ya) / (
                 np.sqrt(_seq_dot(xa, xa)) * np.sqrt(_seq_dot(ya, ya))
@@ -738,19 +759,8 @@ def embedding_near_dup_pairs(
 
     def _parse(series):
         """Per-row vector parse; invalid rows -> None (same rows the pair
-        form scores as NULL)."""
-        out = []
-        for v in series:
-            if v is None:
-                out.append(None)
-                continue
-            try:
-                a = np.asarray(v, dtype=np.float64)
-            except (TypeError, ValueError):
-                out.append(None)
-                continue
-            out.append(a if a.ndim == 1 and a.size > 0 else None)
-        return out
+        form scores as NULL — `_as_vec` is the shared degeneracy contract)."""
+        return [_as_vec(v) for v in series]
 
     def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pair = int(pdf["pair"].iloc[0])

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _seq_dot, cosine_scores
+from .dedup import _as_vec, _seq_dot, cosine_scores
 
 
 def _rank_window(part_col: str):
@@ -103,15 +103,10 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: str = "lsh-v1")
             return pd.Series([], dtype="int64")
 
         def row(v):
-            # null / null-element / dimension-mismatched vectors -> null
-            # bucket (dropped by the bucket equi-join), never a stage crash
-            if v is None:
-                return None
-            try:
-                a = np.asarray(v, dtype=np.float64)
-            except (TypeError, ValueError):
-                return None
-            if a.ndim != 1 or a.size != planes.shape[1]:
+            # degenerate vectors (_as_vec contract) -> null bucket (dropped
+            # by the bucket equi-join), never a stage crash
+            a = _as_vec(v, planes.shape[1])
+            if a is None:
                 return None
             return int(((_seq_dot(a, planes) >= 0) * weights).sum())
 
@@ -152,20 +147,29 @@ def ivf_centroids(
     collect-trivial; the classic sample-then-broadcast quantizer build), so
     executors only ever see the finished broadcast centroids.
     """
+    base = corpus.select(F.col(key).alias("id"), F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull() & (F.size(F.col("v")) > 0)
+    )
+    # the corpus dim = the MODAL vector length (tie -> smaller), found with
+    # one tiny aggregation — never inferred from whichever row the content
+    # hash happens to order first (a ragged first row must not make the
+    # build discard every valid vector). Filtering ragged rows BEFORE the
+    # limit also keeps the full centroid count available whenever enough
+    # valid rows exist. Deterministic: pure aggregates + content-hash order.
+    dims = base.groupBy(F.size(F.col("v")).alias("d")).count().collect()
+    if not dims:
+        return np.zeros((0, 0))
+    dim = max(dims, key=lambda r: (r["count"], -r["d"]))["d"]
     rows = (
-        corpus.select(F.col(key).alias("id"), F.col(vec_col).alias("v"))
-        .filter(F.col("v").isNotNull() & (F.size(F.col("v")) > 0))
+        base.filter(F.size(F.col("v")) == dim)
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(max(n_centroids, sample_size if lloyd_iters else n_centroids))
         .collect()
     )
-    # drop ragged rows (dim != the first row's) and non-finite vectors — a
-    # null / ragged / NaN-element corpus vector must not crash the build or
-    # poison every row's sims through a NaN centroid (still a pure,
-    # deterministic function: the filters precede the content-hash order)
-    dim = len(rows[0].v) if rows else 0
-    cand = [np.array(list(r.v), dtype=np.float64) for r in rows if len(r.v) == dim]
-    cand = [v for v in cand if np.isfinite(v).all()]
+    # drop non-finite vectors — a NaN-element corpus vector must not poison
+    # every row's sims through a NaN centroid
+    cand = [v for v in (np.array(list(r.v), dtype=np.float64) for r in rows)
+            if np.isfinite(v).all()]
     sample = np.array(cand, dtype=np.float64) if cand else np.zeros((0, dim))
     cents = sample[:n_centroids].copy()
     if lloyd_iters <= 0 or len(sample) <= n_centroids:
@@ -175,8 +179,13 @@ def ivf_centroids(
     for _ in range(lloyd_iters):
         cn = np.sqrt((cents * cents).sum(axis=1, keepdims=True))
         C = cents / np.where(cn == 0, 1.0, cn)
-        assign = np.argmax(X @ C.T, axis=1)  # ties -> lowest index
-        for c in range(n_centroids):
+        # sequential cumsum dots, NOT a BLAS matmul: gemm's blocked/threaded
+        # reduction order varies with the BLAS build, which could flip a
+        # near-tie argmax and break cross-environment determinism — the same
+        # reason every other dot in this repo is a _seq_dot
+        sims = _seq_dot(X[:, None, :], C[None, :, :])
+        assign = np.argmax(sims, axis=1)  # ties -> lowest index
+        for c in range(len(cents)):
             m = assign == c
             if m.any():
                 cents[c] = sample[m].mean(axis=0)
@@ -205,15 +214,10 @@ def _ivf_cells(vec: Column, centroids: np.ndarray, n_probe: int = 1) -> Column:
             return np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
 
         def row(v):
-            # null / null-element / dim-mismatched vectors -> null cell list
+            # degenerate vectors (_as_vec contract) -> null cell list
             # (dropped by the cell equi-join), never a stage crash
-            if v is None:
-                return None
-            try:
-                a = np.asarray(v, dtype=np.float64)
-            except (TypeError, ValueError):
-                return None
-            if a.ndim != 1 or a.size != c_norm.shape[1]:
+            a = _as_vec(v, c_norm.shape[1])
+            if a is None:
                 return None
             return assign(a[None, :])[0].astype("int32").tolist()
 

@@ -135,16 +135,9 @@ def token_budget_pack(
     budget under a partitionBy, no single-partition sort). Tests pin
     bucketed(k=1) == global.
     """
+    ranked, order = _budget_ranked(df, text_col, key)
     from pyspark.sql import Window
 
-    scored = quality_score(df, text_col, key).select(key, "score")
-    toks = token_stats(df, text_col, key).select(key, "n_bpe_tokens")
-    ranked = scored.join(toks, key)
-    order = [
-        F.col("score").desc(),
-        F.md5(F.col(key).cast("string")),
-        F.col(key),
-    ]
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     running = F.sum("n_bpe_tokens").over(w)
     return (
@@ -152,6 +145,21 @@ def token_budget_pack(
         .filter(F.col("running_tokens") <= budget)
         .select(key, "score", "n_bpe_tokens", "running_tokens")
     )
+
+
+def _budget_ranked(df: DataFrame, text_col: str, key: str):
+    """Shared core of both budget-pack forms: (score ⋈ token counts) plus
+    the canonical pack ordering (score desc, content-hash, key) — ONE
+    definition so the global spec, the bucketed scale form, and their
+    oracles cannot drift."""
+    scored = quality_score(df, text_col, key).select(key, "score")
+    toks = token_stats(df, text_col, key).select(key, "n_bpe_tokens")
+    order = [
+        F.col("score").desc(),
+        F.md5(F.col(key).cast("string")),
+        F.col(key),
+    ]
+    return scored.join(toks, key), order
 
 
 def token_budget_pack_bucketed(
@@ -175,18 +183,12 @@ def token_budget_pack_bucketed(
     """
     from pyspark.sql import Window
 
-    scored = quality_score(df, text_col, key).select(key, "score")
-    toks = token_stats(df, text_col, key).select(key, "n_bpe_tokens")
+    ranked, order = _budget_ranked(df, text_col, key)
     bucket = (
         F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("long")
         % F.lit(k)
     )
-    ranked = scored.join(toks, key).withColumn("bucket", bucket)
-    order = [
-        F.col("score").desc(),
-        F.md5(F.col(key).cast("string")),
-        F.col(key),
-    ]
+    ranked = ranked.withColumn("bucket", bucket)
     w = (
         Window.partitionBy("bucket")
         .orderBy(*order)

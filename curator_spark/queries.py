@@ -954,10 +954,11 @@ def q_deterministic_sample(spark, sf_dir):
     )
 
 
-@_register(
-    "token_budget_pack",
-    f"""
-    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+# Shared quality-score CTE chain (t -> s -> f(doc_id, score)) — ONE SQL
+# definition of the heuristic score, reused by both budget-pack oracles and
+# the weighted-sample oracle so the score formula cannot drift between them.
+_SCORE_CTES = f"""
+    t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
     s AS (
       SELECT doc_id,
         length(text) AS n_chars, len(w) AS n_words,
@@ -973,20 +974,43 @@ def q_deterministic_sample(spark, sf_dir):
           + CAST((n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS INTEGER)
           + CAST((n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS INTEGER)
         ), 0), 5) AS score
-      FROM s),
+      FROM s)
+"""
+
+
+def _token_budget_sql(budget: int, k: int | None = None) -> str:
+    """ONE oracle generator for both budget-pack forms: k=None -> global
+    window over the whole ranked corpus; k -> per-md5-bucket quota of
+    budget//k under a partitioned window (mirrors
+    textanalysis.token_budget_pack / token_budget_pack_bucketed)."""
+    src = "fb" if k else "f"
+    pre = (
+        f""",
+    fb AS (SELECT f.*, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % {k} AS bucket FROM f)"""
+        if k
+        else ""
+    )
+    part = "PARTITION BY fb.bucket " if k else ""
+    bucket_r = f"{src}.bucket, " if k else ""
+    bucket_out = "CAST(bucket AS BIGINT) AS bucket, " if k else ""
+    quota = budget // k if k else budget
+    return f"""
+    WITH {_SCORE_CTES}{pre},
     tok AS (SELECT doc_id, len(regexp_extract_all(text, '{_BPE}')) AS n_bpe FROM documents),
     r AS (
-      SELECT f.doc_id, f.score, tok.n_bpe,
-             SUM(tok.n_bpe) OVER (ORDER BY f.score DESC,
-                                  md5(CAST(f.doc_id AS VARCHAR)), f.doc_id
+      SELECT {src}.doc_id, {bucket_r}{src}.score, tok.n_bpe,
+             SUM(tok.n_bpe) OVER ({part}ORDER BY {src}.score DESC,
+                                  md5(CAST({src}.doc_id AS VARCHAR)), {src}.doc_id
                                   ROWS UNBOUNDED PRECEDING) AS running
-      FROM f JOIN tok ON f.doc_id = tok.doc_id)
-    SELECT doc_id, CAST(score AS INTEGER) AS score,
+      FROM {src} JOIN tok ON {src}.doc_id = tok.doc_id)
+    SELECT doc_id, {bucket_out}CAST(score AS INTEGER) AS score,
            CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
            CAST(running AS BIGINT) AS running_tokens
-    FROM r WHERE running <= 20000
-    """,
-)
+    FROM r WHERE running <= {quota}
+    """
+
+
+@_register("token_budget_pack", _token_budget_sql(20000))
 def q_token_budget_pack(spark, sf_dir):
     """Data mixing under a token budget: best-quality docs first
     (content-hash tie-break) until the running BPE-token sum hits the
@@ -995,41 +1019,7 @@ def q_token_budget_pack(spark, sf_dir):
     return textanalysis.token_budget_pack(_t(spark, sf_dir, "documents"), budget=20000)
 
 
-@_register(
-    "token_budget_pack_bucketed",
-    f"""
-    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
-    s AS (
-      SELECT doc_id,
-        length(text) AS n_chars, len(w) AS n_words,
-        len(list_filter(w, x -> list_contains({_sql_lex_list('en')}, lower(x)))) AS stop_hits,
-        length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_symbols,
-        len(list_distinct(list_transform(w, x -> lower(x)))) AS n_distinct
-      FROM t),
-    f AS (
-      SELECT doc_id,
-        least(greatest(5 - (
-          CAST((n_chars < {rules.MIN_CHARS} OR n_chars > {rules.MAX_CHARS}) AS INTEGER)
-          + CAST((n_words > 0 AND n_symbols / n_words > {rules.MAX_SYMBOL_RATIO}) AS INTEGER)
-          + CAST((n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS INTEGER)
-          + CAST((n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS INTEGER)
-        ), 0), 5) AS score,
-        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4 AS bucket
-      FROM s),
-    tok AS (SELECT doc_id, len(regexp_extract_all(text, '{_BPE}')) AS n_bpe FROM documents),
-    r AS (
-      SELECT f.doc_id, f.bucket, f.score, tok.n_bpe,
-             SUM(tok.n_bpe) OVER (PARTITION BY f.bucket
-                                  ORDER BY f.score DESC,
-                                  md5(CAST(f.doc_id AS VARCHAR)), f.doc_id
-                                  ROWS UNBOUNDED PRECEDING) AS running
-      FROM f JOIN tok ON f.doc_id = tok.doc_id)
-    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(score AS INTEGER) AS score,
-           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
-           CAST(running AS BIGINT) AS running_tokens
-    FROM r WHERE running <= 5000
-    """,
-)
+@_register("token_budget_pack_bucketed", _token_budget_sql(20000, k=4))
 def q_token_budget_pack_bucketed(spark, sf_dir):
     """Scale form of token_budget_pack: budget//k tokens allocated per
     content-hash bucket, running sum under partitionBy(bucket) — k sorted
@@ -1043,23 +1033,7 @@ def q_token_budget_pack_bucketed(spark, sf_dir):
 @_register(
     "quality_weighted_sample",
     f"""
-    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
-    s AS (
-      SELECT doc_id,
-        length(text) AS n_chars, len(w) AS n_words,
-        len(list_filter(w, x -> list_contains({_sql_lex_list('en')}, lower(x)))) AS stop_hits,
-        length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_symbols,
-        len(list_distinct(list_transform(w, x -> lower(x)))) AS n_distinct
-      FROM t),
-    f AS (
-      SELECT doc_id,
-        least(greatest(5 - (
-          CAST((n_chars < {rules.MIN_CHARS} OR n_chars > {rules.MAX_CHARS}) AS INTEGER)
-          + CAST((n_words > 0 AND n_symbols / n_words > {rules.MAX_SYMBOL_RATIO}) AS INTEGER)
-          + CAST((n_words > 0 AND stop_hits / n_words < {rules.MIN_STOPWORD_DENSITY}) AS INTEGER)
-          + CAST((n_words > 0 AND 1.0 - n_distinct / n_words > {rules.MAX_DUP_WORD_FRAC}) AS INTEGER)
-        ), 0), 5) AS score
-      FROM s),
+    WITH {_SCORE_CTES},
     u AS (
       SELECT doc_id, score,
              CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

