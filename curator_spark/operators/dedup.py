@@ -623,11 +623,13 @@ def _seq_dot(a, b):
 
 def _as_vec(v, dim: int | None = None):
     """The ONE definition of a usable embedding row: a 1-D float64 vector
-    (optionally of exactly ``dim``) or None for every degenerate shape —
-    null, null-element (conversion raises), nested/scalar, empty, or
-    dim-mismatched. Shared by cosine_scores, the blocked near-dup scorer,
-    and the ANN bucket/cell UDFs so 'what counts as degenerate' cannot
-    drift between operators."""
+    (optionally of exactly ``dim``) or None for every degenerate SHAPE —
+    null, unconvertible (string/object element), nested/scalar, empty, or
+    dim-mismatched. A null ELEMENT is not a shape problem: numpy converts
+    None -> NaN, the vector passes through, and the NaN cosine becomes a
+    SQL null downstream (pinned in the ANN degenerate-vector test). Shared
+    by cosine_scores, the blocked near-dup scorer, and the ANN bucket/cell
+    UDFs so 'what counts as degenerate' cannot drift between operators."""
     import numpy as np
 
     if v is None:

@@ -536,9 +536,10 @@ def q_near_dup_survivors(spark, sf_dir):
     return dedup.near_dup_survivors(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@_register("simhash_docs")  # engine-internal xxhash64 -> python twin in pytest
-def q_simhash_docs(spark, sf_dir):
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+# The xxhash64 production simhash (dedup.simhash, python twin in pytest) is
+# exercised by the registered `doc_signatures` query below — folded with the
+# model-UDF stages so the registry stays within the driver's 50-entry
+# correctness cap (CORRECTNESS_r02 recorded exactly the first 50 of 53).
 
 
 def _simhash_md5_ctes() -> str:
@@ -650,27 +651,30 @@ def q_similarity_topk(spark, sf_dir):
     return out.withColumnRenamed("rank", "rnk")
 
 
-@_register("lsh_ann_topk")  # approximate by design -> rows-only driver check
-def q_lsh_ann_topk(spark, sf_dir):
+@_register("ann_topk")  # approximate by design -> rows-only driver check
+def q_ann_topk(spark, sf_dir):
+    """Both ANN scale paths in one registry entry (each approximate by
+    design, so rows-only either way; recall-vs-brute and determinism live
+    in pytest):
+
+    - ``lsh``: multi-probe sign-LSH — narrow bucket projection, ONE shuffle
+      on bucket, probing explodes only the query side.
+    - ``ivf``: coarse-quantizer cells, same one-shuffle plan shape;
+      deterministic content-hash-sampled centroids refined with 2 Lloyd
+      rounds (driver-side spherical k-means over a bounded deterministic
+      sample — recall up at equal probe cost, pinned in tests).
+
+    Scores in both arms are exact cosines of the probed candidates."""
     emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
     dim = len(emb.select("embedding").head()[0])
-    out = similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), dim=dim, k=5)
-    return out.withColumnRenamed("rank", "rnk")
-
-
-@_register("ivf_ann_topk")  # approximate by design -> rows-only driver check
-def q_ivf_ann_topk(spark, sf_dir):
-    """IVF-bucketed ANN (coarse-quantizer cells instead of LSH sign bits;
-    same one-shuffle plan shape). Deterministic content-hash-sampled
-    centroids refined with 2 Lloyd rounds (driver-side spherical k-means
-    over a bounded deterministic sample — recall up at equal probe cost,
-    pinned in tests); scores are exact cosines of the probed candidates."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.ivf_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=3,
-        lloyd_iters=2,
+    lsh = similarity.lsh_ann_topk(emb, q, dim=dim, k=5)
+    ivf = similarity.ivf_ann_topk(emb, q, k=5, n_centroids=16, n_probe=3, lloyd_iters=2)
+    return (
+        lsh.withColumn("method", F.lit("lsh"))
+        .unionByName(ivf.withColumn("method", F.lit("ivf")))
+        .withColumnRenamed("rank", "rnk")
     )
-    return out.withColumnRenamed("rank", "rnk")
 
 
 # ===========================================================================
@@ -1378,34 +1382,43 @@ def q_nfc_normalize(spark, sf_dir):
     )
 
 
-@_register("resize_plan")  # stub-decoder-derived dims -> rows-only
-def q_resize_plan(spark, sf_dir):
-    """Image resize planning over decoded media metadata: aspect-preserving
-    target dims capped at max_side (native columns; the byte-level resize is
-    the stubbed decoder's downstream job)."""
-    from .operators.multimodal import decode_media, media_from_pages, resize_plan
+@_register("multimodal_pipeline")  # stubbed decoder -> rows-only; pytest covers
+def q_multimodal_pipeline(spark, sf_dir):
+    """The full multimodal path as ONE registry entry (folded from the
+    former decode / resize_plan / frame_sample queries to stay inside the
+    driver's 50-entry correctness cap; each operator keeps its own pytest
+    coverage in tests/test_multimodal.py):
+
+    decode_media (Arrow-batched metadata extraction, per-row error capture)
+    -> resize_plan on the image rows (aspect-preserving target dims, native
+    columns) -> frame_sample on the video rows (metadata explode,
+    re-aggregated here to one row per media). Left joins keep every decoded
+    row, including error-captured and audio rows the two branches skip."""
+    from .operators.multimodal import (
+        decode_media,
+        frame_sample,
+        media_from_pages,
+        resize_plan,
+    )
     from .sources.tables import load_pages
 
-    media = media_from_pages(load_pages(spark, sf_dir))
-    return resize_plan(decode_media(media), max_side=256)
-
-
-@_register("multimodal_decode")  # stubbed decoder -> rows-only; pytest covers
-def q_multimodal_decode(spark, sf_dir):
-    from .operators.multimodal import decode_media, media_from_pages
-    from .sources.tables import load_pages
-
-    media = media_from_pages(load_pages(spark, sf_dir))
-    return decode_media(media).drop("fps")  # drop only-nullable-double col
-
-
-@_register("frame_sample")  # derived from stub decode -> rows-only
-def q_frame_sample(spark, sf_dir):
-    from .operators.multimodal import decode_media, frame_sample, media_from_pages
-    from .sources.tables import load_pages
-
-    media = media_from_pages(load_pages(spark, sf_dir))
-    return frame_sample(decode_media(media), every_n=10)
+    decoded = decode_media(media_from_pages(load_pages(spark, sf_dir)))
+    rp = resize_plan(decoded, max_side=256).select(
+        "media_id", "target_width", "target_height"
+    )
+    fs = (
+        frame_sample(decoded, every_n=10)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_sampled_frames"),
+            F.max("frame_idx").alias("last_frame_idx"),
+        )
+    )
+    return (
+        decoded.drop("fps")  # drop only-nullable-double col
+        .join(rp, "media_id", "left")
+        .join(fs, "media_id", "left")
+    )
 
 
 # ===========================================================================
@@ -1414,20 +1427,25 @@ def q_frame_sample(spark, sf_dir):
 # ===========================================================================
 
 
-@_register("langid_udf")
-def q_langid_udf(spark, sf_dir):
-    from .operators.udf_stages import langid_stage
+@_register("doc_signatures")
+def q_doc_signatures(spark, sf_dir):
+    """Per-document enrichment signature as ONE registry entry (folded from
+    the former langid_udf / perplexity_udf queries plus the xxhash64
+    production simhash, to stay inside the driver's 50-entry correctness
+    cap): predicted language + confidence and perplexity from the
+    Arrow-batched model stages (exact verification = pytest goldens vs the
+    single-node oracle), joined with the engine-internal 64-bit SimHash
+    fingerprint (xxhash64 word hashes — python twin in pytest; the
+    cross-engine md5 twin is the oracle-checked `fingerprint` /
+    `simhash_md5` pair). Left join: docs with zero words have no simhash
+    row but keep their model scores."""
+    from .operators.udf_stages import langid_stage, perplexity_stage
 
     d = _t(spark, sf_dir, "documents")
-    return langid_stage(d, text_col="text").select("doc_id", "lang_pred", "lang_conf")
-
-
-@_register("perplexity_udf")
-def q_perplexity_udf(spark, sf_dir):
-    from .operators.udf_stages import perplexity_stage
-
-    d = _t(spark, sf_dir, "documents")
-    return perplexity_stage(d, text_col="text").select("doc_id", "perplexity")
+    scored = perplexity_stage(langid_stage(d, text_col="text"), text_col="text").select(
+        "doc_id", "lang_pred", "lang_conf", "perplexity"
+    )
+    return scored.join(dedup.simhash(d), "doc_id", "left")
 
 
 @_register(

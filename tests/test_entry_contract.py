@@ -15,6 +15,11 @@ def test_registry_shape():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 40
+    # the driver records at most 50 CORRECTNESS entries (r2 recorded exactly
+    # the first 50 of 53 and silently dropped the tail — VERDICT r2 #1);
+    # staying at <= 50 keeps EVERY registered query driver-evidenced. Fold
+    # rows-only queries together before adding a 51st entry.
+    assert len(qs) <= 50
     assert set(oracles) <= set(qs)  # every oracle has a query
     assert len(oracles) >= 30
     for name, fn in qs.items():

@@ -459,3 +459,53 @@ def test_ann_operators_survive_degenerate_vectors(spark):
     assert cents.shape[1] == 4 and not np.isnan(cents).any()
     again = similarity.ivf_ann_topk(emb, q, k=3, n_centroids=4, n_probe=1).collect()
     assert {r.qid for r in again} <= {0}
+
+
+def test_ivf_centroids_dim_is_modal_not_first_row(spark):
+    """The quantizer's corpus dim must come from the MODAL vector length,
+    not whichever row the content-hash order happens to put first: a ragged
+    row that md5-sorts first must neither empty the build nor shrink the
+    centroid count below what the valid rows support."""
+    import hashlib
+
+    ids = list(range(12))
+    ragged_first = min(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [0.5, 0.5] if i == ragged_first else [float(x) for x in rng.randn(4)])
+        for i in ids
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, 4)
+    assert cents.shape == (4, 4)  # full count, modal dim — ragged row skipped
+    assert np.isfinite(cents).all()
+
+
+def test_simhash_near_pairs_rejects_uncoverable_radius(spark):
+    """4-chunk pigeonhole blocking only guarantees a shared exact chunk for
+    hamming <= 3; a larger radius would silently LOSE pairs, so the
+    operator must refuse it."""
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_md5_near_pairs(df, max_hamming=4)
+    # boundary radius stays accepted
+    dedup.simhash_md5_near_pairs(df, max_hamming=3).collect()
+
+
+def test_as_vec_degeneracy_contract():
+    """_as_vec is the single shared definition of a usable embedding row;
+    pin every degenerate shape it must map to None."""
+    from curator_spark.operators.dedup import _as_vec
+
+    assert _as_vec(None) is None
+    assert _as_vec([]) is None                      # empty
+    assert _as_vec(3.0) is None                     # scalar
+    assert _as_vec([[1.0, 2.0]]) is None            # nested
+    assert _as_vec(["a", "b"]) is None              # unconvertible
+    assert _as_vec([1.0, 2.0], dim=3) is None       # dim mismatch
+    # a null ELEMENT is NOT a shape problem: numpy maps None -> NaN and the
+    # NaN cosine becomes a SQL null downstream (see the ANN degenerate test)
+    nanv = _as_vec([1.0, None, 2.0])
+    assert nanv is not None and np.isnan(nanv[1])
+    v = _as_vec([1.0, 2.0], dim=2)
+    assert v is not None and v.dtype == np.float64 and v.tolist() == [1.0, 2.0]
