@@ -38,6 +38,34 @@ def test_exact_dedup_keeps_min_key(docs_df):
     assert dup_group.doc_id == 0  # min key wins over 3
 
 
+def test_shingle_rows_equals_spec(spark):
+    """Codegen shingle path == explode(word_shingles(...)) spec, as a multiset.
+
+    shingle_rows is the production subtree under minhash_lsh_candidates and
+    ngram_jaccard_pairs; any drift here silently shifts every dedup oracle.
+    """
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "   \t\n  "),  # whitespace-only -> trim -> no shingles
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),  # exactly w=3 words -> 1 shingle
+        (6, "a  b\tc\nd   e"),  # mixed separators, runs of whitespace
+        (7, None),  # null text drops out of both forms
+        (8, "  leading and trailing   spaces stripped before split  "),
+        (9, "répété répété répété unicode œuvre"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for w in (2, 3, 5):
+        spec = df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dedup.word_shingles(F.col("text"), w)).alias("s"),
+        )
+        fast = dedup.shingle_rows(df, w=w)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, spec.collect())), w
+
+
 def test_minhash_finds_planted_near_dup(docs_df):
     pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(docs_df).collect()}
     assert (0, 3) in pairs  # exact dup always collides
