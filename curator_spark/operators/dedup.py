@@ -116,12 +116,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
 # ---------------------------------------------------------------------------
 
 
-# MinHash family: h_i(doc) = min over shingles of md5(f"{i}|" + shingle) —
-# salted md5 per hash index, a valid MinHash family chosen because the
-# identical expression runs in DuckDB (cross-engine oracle). Implemented via
-# explode + hash-agg below; an array-expression formulation (array_min of
-# transform per salt) measured ~20x slower because Spark interprets
-# higher-order functions and re-evaluates duplicated subtrees.
+# MinHash family: ONE md5 per shingle, parsed to a 32-bit int h, then
+# h_i = (a_i*h + b_i) mod P (P = 2^31 - 1 prime) — the classic affine
+# universal family over a base hash. Chosen over the previous salted-md5-
+# per-index family because it computes 1 digest + 8 long multiply-adds per
+# shingle instead of 8 digests (signature agg measured 1.38 -> 0.58 s at
+# sf0.1) while every expression still runs bit-identically in DuckDB
+# (CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT) == Spark's
+# conv(substring(md5(x),1,8),16,10); products < 2^45 so no overflow in
+# either engine). Implemented via explode + hash-agg below; an
+# array-expression formulation (array_min of transform per salt) measured
+# ~20x slower because Spark interprets higher-order functions and
+# re-evaluates duplicated subtrees.
+
+MINHASH_P = 2147483647
+MINHASH_A = [
+    787, 1031, 1523, 2069, 2657, 3121, 3673, 4231,
+    4789, 5381, 5987, 6577, 7193, 7823, 8431, 9067,
+]
+MINHASH_B = [
+    12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869,
+    3145739, 6291469, 12582917, 25165843, 50331653, 100663319, 201326611, 402653189,
+]
 
 
 def minhash_lsh_candidates(
@@ -148,7 +164,8 @@ def minhash_lsh_candidates(
     an array-expression formulation of the signature measured ~20x slower):
 
       scan -> explode shingles (generator, codegen)
-           -> hash-agg min(md5(salt||shingle)) x num_hashes (partial agg
+           -> one md5 per shingle -> hash-agg min((a_i*h + b_i) mod P)
+              x num_hashes (cheap long arithmetic; partial agg
               combines map-side: one row per doc reaches the shuffle)
            -> explode band digests -> ONE shuffle on band -> in-bucket
               self-join -> distinct pairs.
@@ -156,11 +173,17 @@ def minhash_lsh_candidates(
     At 10^12 docs the band digest is the shuffle key; hot buckets
     (boilerplate) should be exact-deduped first.
     """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"minhash_lsh_candidates has {len(MINHASH_A)} pinned affine constants; "
+            f"num_hashes must be <= {len(MINHASH_A)} (got {num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     ex = shingle_rows(df, text_col=text_col, key=key, w=w)
-    sig = ex.groupBy("id").agg(
+    h32 = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    sig = ex.select("id", h32.alias("_h")).groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            F.min((F.col("_h") * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

@@ -332,6 +332,24 @@ def q_exact_dedup(spark, sf_dir):
     return g.select("fp_md5", "group_size", "keep_id")
 
 
+# DuckDB twin of the Spark MinHash family (dedup.MINHASH_A/B/P): one md5 per
+# shingle parsed as a 32-bit int (the 0x-cast is DuckDB's hex parse, equal to
+# Spark's conv(substring(md5(x),1,8),16,10)), then 8 affine (a*h + b) % P.
+_MINHASH_A_SQL = "[" + ", ".join(str(a) for a in dedup.MINHASH_A[:8]) + "]"
+_MINHASH_B_SQL = "[" + ", ".join(str(b) for b in dedup.MINHASH_B[:8]) + "]"
+_MINHASH_SIG_CTES = f"""
+    hsh AS (
+      SELECT doc_id,
+             list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS hv
+      FROM sh WHERE len(s) > 0),
+    sig AS (
+      SELECT doc_id,
+        list_transform(range(0, 8),
+          j -> list_min(list_transform(hv,
+               h -> ({_MINHASH_A_SQL}[CAST(j + 1 AS INTEGER)] * h
+                     + {_MINHASH_B_SQL}[CAST(j + 1 AS INTEGER)]) % {dedup.MINHASH_P}))) AS sg
+      FROM hsh)"""
+
 _MINHASH_SQL = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     sh AS (
@@ -340,10 +358,7 @@ _MINHASH_SQL = f"""
              ELSE list_transform(range(1, len(w) - 1),
                                  i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) END AS s
       FROM toks),
-    sig AS (
-      SELECT doc_id,
-        list_transform(range(0, 8), j -> list_min(list_transform(s, x -> md5(j || '|' || x)))) AS sg
-      FROM sh WHERE len(s) > 0),
+    {_MINHASH_SIG_CTES},
     banded AS (
       SELECT DISTINCT doc_id, band FROM (
         SELECT doc_id,
@@ -468,10 +483,7 @@ _CAPPED_LSH_JACCARD_CTES = f"""
              ELSE list_transform(range(1, len(w) - 1),
                                  i -> array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')) END AS s
       FROM toks),
-    sig AS (
-      SELECT doc_id,
-        list_transform(range(0, 8), j -> list_min(list_transform(s, x -> md5(j || '|' || x)))) AS sg
-      FROM sh WHERE len(s) > 0),
+    {_MINHASH_SIG_CTES},
     banded AS (
       SELECT DISTINCT doc_id, band FROM (
         SELECT doc_id,
