@@ -148,6 +148,55 @@ def test_embedding_near_dup_has_no_pair_cross_join(spark):
     assert "BroadcastNestedLoopJoin" in brute or "CartesianProduct" in brute
 
 
+def test_dedup_hot_paths_have_no_interpreted_lambda(spark):
+    """The shingle/vote subtrees must stay whole-stage codegen: any
+    `transform(lambdafunction(...))` in a minhash/simhash plan means a spec
+    HOF leaked back into a production path (12x on shingles when it did)."""
+    from curator_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for name, df in (
+        ("minhash_lsh_candidates", dedup.minhash_lsh_candidates(docs)),
+        ("simhash", dedup.simhash(docs)),
+        ("simhash_md5", dedup.simhash_md5(docs)),
+        ("shingle_rows", dedup.shingle_rows(docs)),
+    ):
+        plan = _plan(df)
+        assert "lambdafunction" not in plan.lower(), (name, plan)
+
+
+def test_dedup_self_joins_reuse_signature_exchange(spark):
+    """Both banded/blocked self-joins must compute the signature aggregate
+    ONCE: the final AQE plan feeds the second join side from a
+    ReusedExchange, not a second scan+agg of the corpus."""
+    from curator_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for name, df in (
+        ("minhash_lsh_candidates", dedup.minhash_lsh_candidates(docs)),
+        ("simhash_md5_near_pairs", dedup.simhash_md5_near_pairs(docs)),
+    ):
+        df.collect()  # AQE finalizes reuse at runtime
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        assert "ReusedExchange" in plan, (name, plan)
+
+
+def test_quantiles_distinct_keeps_percentile_off_the_distinct_rewrite(spark):
+    """Exact percentiles and count_distinct must stay in SEPARATE
+    aggregations: fused, Spark keys the first agg by (priority, custkey)
+    and ships a percentile value-buffer per distinct customer through the
+    shuffle (measured 1.7x at sf0.1; per-customer traffic at scale)."""
+    import re
+
+    from curator_spark import queries as q
+
+    plan = _plan(q.Q["quantiles_distinct"](spark, SF_DIR))
+    assert not re.search(
+        r"Keys \[2\].*?Functions \[\d\][^\n]*percentile", plan, re.DOTALL
+    ), plan
+
+
 def test_simhash_near_pairs_join_is_bucket_local(spark):
     """The Hamming pair extraction must equi-join on the 16-bit chunk key
     (pigeonhole blocking) — never a cross join over all pairs."""
