@@ -98,6 +98,9 @@ def heuristics_stage(
     else:
         stop_hits = F.regexp_count(F.lower(trimmed), F.lit(_STOPWORD_COUNT_RE))
     n_symbols = F.length(text) - F.length(F.regexp_replace(text, _SYMBOL_CLASS, ""))
+    # deliberately INLINE twice: runtime subexpression elimination already
+    # dedupes the repeated filter within the Project; a materializing
+    # withColumn measured ~20% slower (extra array copy per row)
     lines = F.filter(F.split(text, r"\n"), lambda ln: F.length(F.trim(ln)) > 0)
     n_lines = F.size(lines)
 
