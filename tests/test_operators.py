@@ -73,6 +73,25 @@ def test_minhash_finds_planted_near_dup(docs_df):
     assert (2, 4) not in pairs
 
 
+def test_minhash_constant_bounds_and_wider_family(docs_df):
+    """The affine family exposes 16 pinned (a, b) pairs; a wider request
+    must refuse (silent reuse of constants would correlate the hashes),
+    and the widest supported configuration must still find the planted
+    exact dup (it collides under every minhash family)."""
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup.minhash_lsh_candidates(docs_df, num_hashes=17, bands=1)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs_df, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 3) in pairs
+
+
+def test_simhash_rejects_odd_bits(docs_df):
+    with pytest.raises(ValueError, match="even"):
+        dedup.simhash(docs_df, bits=63)
+
+
 def test_jaccard_on_candidates_matches_python(docs_df):
     cand = dedup.minhash_lsh_candidates(docs_df)
     out = dedup.ngram_jaccard_pairs(docs_df, pairs=cand).collect()
