@@ -135,6 +135,96 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert len(pairs) <= 6
 
 
+def _adversarial_corpus():
+    """Deterministic corpus of weird-but-valid strings: unicode whitespace
+    (NOT Java \\s — tokens keep it), combining marks, CJK, zero-width chars,
+    empty/blank rows, leading Java separators (which yield an empty first
+    token through split), long repeats."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    atoms = [
+        "the", "a", "b", "word", "été", "naïve", "世界",
+        "x" * 50, "1.2.3", "a-b", "", "​zw", "é", " nbsp",
+        " ls", "tab\tin", "quote'", 'dq"', "back\\slash", "pipe|",
+    ]
+    seps = [" ", "  ", "\t", "\n", "\r\n", "\x0b", "\x0c", " \t "]
+    rows = [(0, None), (1, ""), (2, " "), (3, "\t\n "), (4, "one"), (5, " lead"),
+            (6, "\ttab-lead"), (7, "trail "), (8, "a b"), (9, "the the the")]
+    for i in range(10, 160):
+        k = rng.randint(1, 12)
+        s = rng.choice(seps).join(rng.choice(atoms) for _ in range(k))
+        if rng.random() < 0.2:
+            s = rng.choice(seps) + s
+        if rng.random() < 0.2:
+            s = s + rng.choice(seps)
+        rows.append((i, s))
+    return rows
+
+
+def _simhash_unpacked_reference(df, hash_col_fn, key="doc_id"):
+    """Test-local UNPACKED per-bit majority vote (the pre-packing
+    formulation): one sum(+-1) aggregate per bit over (hi, lo) halves.
+    Pins that the packed-counter production form decides every bit
+    identically on arbitrary input."""
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col(h), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v_{h}_{b}")
+        for h in ("hi", "lo")
+        for b in range(32)
+    ]
+    voted = hash_col_fn(df).groupBy("id").agg(*votes)
+    out = {}
+    for h in ("hi", "lo"):
+        acc = None
+        for b in range(32):
+            bit = F.when(F.col(f"v_{h}_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            acc = bit if acc is None else acc + bit
+        out[h] = acc
+    return voted.select(
+        F.col("id").alias(key), out["hi"].alias("simhash_hi"), out["lo"].alias("simhash_lo")
+    )
+
+
+def test_packed_simhash_and_shingles_on_adversarial_corpus(spark):
+    """Whole-corpus pins for the packed/codegen rewrites on adversarial
+    unicode: shingle_rows == spec multiset, and simhash_md5's packed vote
+    counters == the unpacked per-bit formulation, row for row."""
+    df = spark.createDataFrame(_adversarial_corpus(), "doc_id long, text string")
+    for w in (2, 3):
+        spec = df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dedup.word_shingles(F.col("text"), w)).alias("s"),
+        )
+        fast = dedup.shingle_rows(df, w=w)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, spec.collect())), w
+
+    def md5_halves(d):
+        t = F.trim(F.col("text"))
+        toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+            F.split(t, r"\s+")
+        )
+        m = F.md5(F.lower(F.col("_w0")))
+        return (
+            d.select(F.col("doc_id").alias("id"), F.explode(toks).alias("_w0"))
+            .select("id", m.alias("_m"))
+            .select(
+                "id",
+                F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("hi"),
+                F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("lo"),
+            )
+        )
+
+    ref = {tuple(r) for r in _simhash_unpacked_reference(df, md5_halves).collect()}
+    got = {tuple(r) for r in dedup.simhash_md5(df).collect()}
+    assert got == ref
+
+
 def test_simhash_properties(docs_df):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
     assert sh[0] == sh[3]  # identical text -> identical simhash
