@@ -41,25 +41,29 @@ def main():
     # 0. scan only
     mat(docs, "scan only")
 
-    # 1. shingle construction (HOF transform) without explode
+    # 1. SPEC shingles (HOF transform) without explode — kept for contrast
     sh = docs.select("doc_id", dedup.word_shingles(F.col("text")).alias("s"))
-    mat(sh, "shingles (HOF transform, no explode)")
+    mat(sh, "spec shingles (HOF transform, no explode)")
 
-    # 2. shingles + explode
-    ex = docs.select(
-        F.col("doc_id").alias("id"), F.explode(dedup.word_shingles(F.col("text"))).alias("s")
+    # 2. production shingle rows (codegen explode(sequence)+slice+concat_ws)
+    ex = dedup.shingle_rows(docs)
+    mat(ex, "shingle_rows (codegen)")
+
+    # 3. + production signature agg (1x md5 -> 8 affine min-longs)
+    h32 = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    sig = ex.select("id", h32.alias("_h")).groupBy("id").agg(
+        *[
+            F.min((F.col("_h") * dedup.MINHASH_A[i] + dedup.MINHASH_B[i]) % dedup.MINHASH_P).alias(f"h{i}")
+            for i in range(8)
+        ]
     )
-    mat(ex, "shingles + explode")
+    mat(sig, "+ sig agg (1x md5 + 8 affine, production)")
 
-    # 3. + signature agg (8x min(md5))
-    sig = ex.groupBy("id").agg(
+    # 3b. OLD salted-md5 family (8 digests per shingle) — cost contrast
+    sig_old = ex.groupBy("id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}") for i in range(8)]
     )
-    mat(sig, "+ signature agg (8x min md5)")
-
-    # 3b. same agg but only ONE md5 per shingle (cost attribution)
-    sig1 = ex.groupBy("id").agg(F.min(F.md5(F.col("s"))).alias("h0"))
-    mat(sig1, "+ signature agg (1x min md5)")
+    mat(sig_old, "+ sig agg (8x salted md5, old family)")
 
     # 4. full operator
     mat(dedup.minhash_lsh_candidates(docs, num_hashes=8, bands=4, w=3), "full minhash_lsh_candidates")
