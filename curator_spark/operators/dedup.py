@@ -123,8 +123,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
 # shingle instead of 8 digests (signature agg measured 1.38 -> 0.58 s at
 # sf0.1) while every expression still runs bit-identically in DuckDB
 # (CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT) == Spark's
-# conv(substring(md5(x),1,8),16,10); products < 2^45 so no overflow in
-# either engine). Implemented via explode + hash-agg below; an
+# conv(substring(md5(x),1,8),16,10); products < 2^46, fitting int64 with
+# huge margin in both engines — asserted below). Implemented via explode +
+# hash-agg below; an
 # array-expression formulation (array_min of transform per salt) measured
 # ~20x slower because Spark interprets higher-order functions and
 # re-evaluates duplicated subtrees.
@@ -138,6 +139,9 @@ MINHASH_B = [
     12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869,
     3145739, 6291469, 12582917, 25165843, 50331653, 100663319, 201326611, 402653189,
 ]
+# overflow guard for any future widening of the family: a_i*h + b_i with
+# h < 2^32 must stay far inside int64 for BOTH Spark and DuckDB arithmetic
+assert max(MINHASH_A) * (2**32 - 1) + max(MINHASH_B) < 2**62
 
 
 def minhash_lsh_candidates(

@@ -160,14 +160,28 @@ def ivf_centroids(
     if not dims:
         return np.zeros((0, 0))
     dim = max(dims, key=lambda r: (r["count"], -r["d"]))["d"]
+    # drop non-finite vectors BEFORE the limit (mirroring the ragged-row
+    # pre-limit filter): a NaN/inf-element vector that md5-sorts into the
+    # sampled prefix must neither poison a centroid nor shrink the returned
+    # centroid count while enough finite vectors exist. Codegen-native guard
+    # (no HOF): in Spark's ordering NaN sorts greatest, so array_max is NaN
+    # or +inf whenever either is present, and NaN/inf comparisons below
+    # evaluate false; array_min catches -inf; array_compact (null-element
+    # strip) catches nulls that array_max would silently skip. All codegen-
+    # native — no interpreted lambda on the corpus scan.
+    finite = (
+        ~F.isnan(F.array_max(F.col("v")).cast("double"))
+        & (F.array_max(F.col("v")) < F.lit(float("inf")))
+        & (F.array_min(F.col("v")) > F.lit(float("-inf")))
+        & (F.size(F.array_compact(F.col("v"))) == F.size(F.col("v")))
+    )
     rows = (
-        base.filter(F.size(F.col("v")) == dim)
+        base.filter((F.size(F.col("v")) == dim) & finite)
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(max(n_centroids, sample_size if lloyd_iters else n_centroids))
         .collect()
     )
-    # drop non-finite vectors — a NaN-element corpus vector must not poison
-    # every row's sims through a NaN centroid
+    # belt-and-braces python-side re-check of the same invariant
     cand = [v for v in (np.array(list(r.v), dtype=np.float64) for r in rows)
             if np.isfinite(v).all()]
     sample = np.array(cand, dtype=np.float64) if cand else np.zeros((0, dim))

@@ -618,6 +618,35 @@ def test_ivf_centroids_dim_is_modal_not_first_row(spark):
     assert np.isfinite(cents).all()
 
 
+def test_ivf_centroids_nonfinite_filtered_before_limit(spark):
+    """ADVICE r3: with lloyd_iters=0 (limit == n_centroids) a NaN/inf/null-
+    element vector that md5-sorts into the sampled prefix must be filtered
+    BEFORE the limit — skipping it after the collect would silently shrink
+    the centroid count below n_centroids while enough finite rows exist."""
+    import hashlib
+
+    ids = list(range(12))
+    by_hash = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    bad = {by_hash[0]: float("nan"), by_hash[1]: float("inf"), by_hash[2]: None}
+    rng = np.random.RandomState(7)
+    rows = [
+        (
+            i,
+            [bad[i], 1.0, 2.0, 3.0]
+            if i in bad
+            else [float(x) for x in rng.randn(4)],
+        )
+        for i in ids
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, 8, lloyd_iters=0)
+    assert cents.shape == (8, 4)  # full count despite 3 bad prefix rows
+    assert np.isfinite(cents).all()
+    # and the refined build keeps the same guarantee
+    cents_l = similarity.ivf_centroids(emb, 8, lloyd_iters=2, sample_size=12)
+    assert cents_l.shape == (8, 4) and np.isfinite(cents_l).all()
+
+
 def test_simhash_near_pairs_rejects_uncoverable_radius(spark):
     """4-chunk pigeonhole blocking only guarantees a shared exact chunk for
     hamming <= 3; a larger radius would silently LOSE pairs, so the
