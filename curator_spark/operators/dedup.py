@@ -411,49 +411,91 @@ def simhash_md5(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     )
 
 
-def simhash_md5_near_pairs(
-    df: DataFrame, text_col: str = "text", key: str = "doc_id", max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by Hamming distance on the ORACLE-checkable md5
-    SimHash (two 32-bit halves), blocked on 4 16-bit chunks — a pair within
-    hamming <= 3 over the 64 bits must share >= 1 exact chunk (pigeonhole),
-    so the join is bucket-local, never a cross join. Same plan shape as
-    ``simhash_near_pairs`` (the xxhash64 scale variant); this twin exists so
-    the full extract-pairs step — not just the fingerprint — is pinned by
-    the DuckDB oracle. Output: (id_a, id_b, hamming).
+def _hamming_block_keys(n_chunks: int, bits_of) -> Column:
+    """Chunk-key string array partitioning the 64 bit positions into
+    ``n_chunks`` near-equal contiguous runs (widths differ by at most 1).
 
-    Scale note: chunk buckets collide at rate n/2^16 per chunk — compose
-    ``exact_dedup`` upstream (boilerplate collapses to one row) and widen
-    chunks (c chunks of 64/c bits covers hamming < c) when corpus size
-    makes 16-bit buckets hot; the blocked join itself is the standard
-    pigeonhole design.
-    """
-    if max_hamming >= 4:
-        # 4 chunks only guarantee a shared exact chunk for hamming < 4; a
+    Pigeonhole invariant the callers rely on: the runs PARTITION all 64
+    bits, so two hashes within hamming <= n_chunks - 1 cannot differ in
+    every run — they share at least one exact chunk key and meet in that
+    bucket. ``bits_of(start, width)`` must return a long Column holding bit
+    positions [start, start+width) of the 64-bit fingerprint."""
+    widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    keys, start = [], 0
+    for i, w in enumerate(widths):
+        keys.append(F.concat(F.lit(f"{i}:"), bits_of(start, w).cast("string")))
+        start += w
+    return F.array(*keys)
+
+
+def _check_hamming_coverage(op: str, max_hamming: int, n_chunks: int) -> None:
+    if not 2 <= n_chunks <= 64:
+        raise ValueError(f"{op}: n_chunks must be in [2, 64] (got {n_chunks})")
+    if max_hamming >= n_chunks:
+        # c chunks only guarantee a shared exact chunk for hamming < c; a
         # larger radius would silently LOSE pairs whose diffs spread one per
         # chunk — refuse rather than return an incomplete pair set
         raise ValueError(
-            "simhash_md5_near_pairs blocks on 4 chunks: max_hamming must be <= 3 "
-            f"(got {max_hamming}); widen the chunking for larger radii"
+            f"{op} blocks on {n_chunks} chunks: max_hamming must be <= "
+            f"{n_chunks - 1} (got {max_hamming}); raise n_chunks to at least "
+            f"max_hamming + 1 to cover the radius"
         )
+
+
+def simhash_md5_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on the ORACLE-checkable md5
+    SimHash (two 32-bit halves), blocked on ``n_chunks`` near-equal bit
+    runs — a pair within hamming <= n_chunks - 1 over the 64 bits must
+    share >= 1 exact chunk (pigeonhole), so the join is bucket-local, never
+    a cross join. Same plan shape as ``simhash_near_pairs`` (the xxhash64
+    scale variant); this twin exists so the full extract-pairs step — not
+    just the fingerprint — is pinned by the DuckDB oracle. Blocking
+    losslessness at radii 3-7 is pinned against the all-pairs DuckDB twin
+    in tests. Output: (id_a, id_b, hamming).
+
+    Scale note: chunk buckets collide at rate n/2^(64/n_chunks) per chunk —
+    compose ``exact_dedup`` upstream (boilerplate collapses to one row) and
+    keep n_chunks at the minimum covering the radius (wider chunks = fewer,
+    colder buckets AND fewer exploded rows); the blocked join itself is the
+    standard pigeonhole design.
+    """
+    _check_hamming_coverage("simhash_md5_near_pairs", max_hamming, n_chunks)
     sim = simhash_md5(df, text_col, key)
-    chunks = F.array(
-        *[
-            F.concat(
-                F.lit(f"{h}{c}:"),
-                F.shiftrightunsigned(F.col(f"simhash_{h}"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .cast("string"),
+
+    def bits_of(start: int, width: int) -> Column:
+        # logical bit b of the 64-bit fingerprint: b<32 -> bit b of hi,
+        # b>=32 -> bit b-32 of lo; a run spanning the boundary concatenates
+        # the two extracts (lo part shifted above the hi part)
+        parts = []
+        w_hi = min(max(32 - start, 0), width)
+        if w_hi:
+            parts.append(
+                F.shiftrightunsigned(F.col("simhash_hi"), start).bitwiseAND(
+                    F.lit((1 << w_hi) - 1)
+                )
             )
-            for h in ("hi", "lo")
-            for c in range(2)
-        ]
-    )
+        if width > w_hi:
+            w_lo = width - w_hi
+            lo_part = F.shiftrightunsigned(
+                F.col("simhash_lo"), max(start - 32, 0)
+            ).bitwiseAND(F.lit((1 << w_lo) - 1))
+            parts.append(F.shiftleft(lo_part, w_hi) if w_hi else lo_part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
     blocked = sim.select(
         F.col(key).alias("id"),
         F.col("simhash_hi").alias("hi"),
         F.col("simhash_lo").alias("lo"),
-        F.explode(chunks).alias("blk"),
+        F.explode(_hamming_block_keys(n_chunks, bits_of)).alias("blk"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
@@ -471,17 +513,27 @@ def simhash_md5_near_pairs(
     )
 
 
-def simhash_near_pairs(sim_df: DataFrame, key: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance on simhash, blocked on 4 16-bit
-    chunks (a pair within hamming<=3 must share >=1 exact chunk — pigeonhole)
-    so the join is bucket-local, never a cross join."""
-    chunks = F.array(
-        *[
-            F.concat(F.lit(f"{c}:"), (F.shiftrightunsigned(F.col("simhash"), c * 16)).bitwiseAND(F.lit(0xFFFF)).cast("string"))
-            for c in range(4)
-        ]
+def simhash_near_pairs(
+    sim_df: DataFrame,
+    key: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on simhash, blocked on
+    ``n_chunks`` near-equal bit runs (a pair within hamming <= n_chunks - 1
+    must share >= 1 exact chunk — pigeonhole) so the join is bucket-local,
+    never a cross join."""
+    _check_hamming_coverage("simhash_near_pairs", max_hamming, n_chunks)
+    bits_of = lambda start, width: (  # noqa: E731
+        F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << width) - 1) if width < 64 else F.lit(-1)
+        )
     )
-    blocked = sim_df.select(F.col(key).alias("id"), F.col("simhash"), F.explode(chunks).alias("blk"))
+    blocked = sim_df.select(
+        F.col(key).alias("id"),
+        F.col("simhash"),
+        F.explode(_hamming_block_keys(n_chunks, bits_of)).alias("blk"),
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     pop = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
