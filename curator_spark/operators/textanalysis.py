@@ -54,6 +54,18 @@ def token_stats(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     )
 
 
+def _lang_argmax(out: DataFrame, langs: list[str]) -> DataFrame:
+    """Deterministic winner column: highest hits; among equals the smallest
+    lang code (langs iterates sorted asc, so the first coalesce branch to
+    fire is the smallest code among the maxima) — codegen CASE chain."""
+    top_h = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    winner = F.coalesce(*[F.when(F.col(f"hits_{lang}") == top_h, F.lit(lang)) for lang in langs])
+    return out.withColumn(
+        "lang_pred",
+        F.when(top_h > 0, winner).otherwise(F.lit("und")),
+    )
+
+
 def lang_scores(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Lexicon-vote language scores (the SQL-expressible core of langid).
 
@@ -61,12 +73,57 @@ def lang_scores(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     lang asc — same tie-break as rules.langid). The full langid() (script
     checks, confidence) runs in the fused UDF stage; this native variant is
     the scalable path for when the corpus is known-Latin-script.
+
+    Shape: explode the lowered token array and take per-language conditional
+    sums over a codegen InSet — no interpreted higher-order function on the
+    scan, map-side partial agg, ONE shuffle of n_docs tiny count rows. The
+    round-4 A/B (tools/lexicon_ab.py) measured this ~2x faster than the
+    per-row `F.size(F.filter(isin))` HOF at every doc length 300-4000 chars
+    (the 4 lexicon scans amortize one cheap shuffle); the per-row form is
+    kept as ``lang_scores_rowwise`` and pinned bit-identical, including the
+    null-text edge (null hits, not 0).
     """
-    text = F.col(text_col)
+    langs = sorted(rules.LANG_LEXICONS)
     # words(lower(text)), NOT transform(words(text), lower): lowercasing
     # never changes whitespace, so the token multiset is identical — and the
     # split-of-lowered form is pure codegen where the array transform is an
     # interpreted HOF (~16% off the sf0.1 wall, pinned identical)
+    lw = words(F.lower(F.col(text_col)))
+    # explode_outer keeps zero-word docs (one null-token row); the carried
+    # null-text flag distinguishes null text (hits NULL — the spec's
+    # size(null-array) semantics) from blank text (hits 0)
+    toks = df.select(
+        F.col(key),
+        F.col(text_col).isNull().alias("_tnull"),
+        F.explode_outer(lw).alias("_w"),
+    )
+    tnull = F.max(F.col("_tnull"))
+    out = toks.groupBy(key).agg(
+        *[
+            F.when(
+                tnull,
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.sum(
+                    F.when(
+                        F.col("_w").isin(*sorted(rules.LANG_LEXICONS[lang])), 1
+                    ).otherwise(0)
+                )
+            )
+            .alias(f"hits_{lang}")
+            for lang in langs
+        ]
+    )
+    return _lang_argmax(out, langs)
+
+
+def lang_scores_rowwise(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """SPEC TWIN of ``lang_scores``: per-row interpreted-HOF hit counting.
+    Zero-shuffle but ~2x slower (tools/lexicon_ab.py); kept as the readable
+    semantic definition and pinned equal (incl. null-text) in tests. Use
+    ``lang_scores`` in hot paths."""
+    text = F.col(text_col)
     lw = words(F.lower(text))
     score_cols: list[Column] = []
     langs = sorted(rules.LANG_LEXICONS)
@@ -75,16 +132,7 @@ def lang_scores(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
         score_cols.append(
             F.size(F.filter(lw, lambda w: w.isin(*lex))).cast("long").alias(f"hits_{lang}")
         )
-    out = df.select(F.col(key), *score_cols)
-    # deterministic winner: highest h; among equals the smallest lang code
-    # (langs iterates sorted asc, so the first coalesce branch to fire is
-    # the smallest code among the maxima) — codegen CASE chain, no HOF
-    top_h = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    winner = F.coalesce(*[F.when(F.col(f"hits_{lang}") == top_h, F.lit(lang)) for lang in langs])
-    return out.withColumn(
-        "lang_pred",
-        F.when(top_h > 0, winner).otherwise(F.lit("und")),
-    )
+    return _lang_argmax(df.select(F.col(key), *score_cols), langs)
 
 
 def quality_score(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:

@@ -647,6 +647,43 @@ def test_ivf_centroids_nonfinite_filtered_before_limit(spark):
     assert cents_l.shape == (8, 4) and np.isfinite(cents_l).all()
 
 
+def test_lang_scores_explode_equals_rowwise_spec(spark):
+    """The shipped explode+InSet lang_scores (one tiny-row shuffle, no
+    interpreted HOF — ~2x faster at 300-4000-char docs per
+    tools/lexicon_ab.py) must stay bit-identical to the per-row spec twin,
+    including the edges: null text (hits NULL, not 0), blank text (hits 0),
+    leading-tab empty tokens, argmax ties, and multi-language mixes."""
+    from curator_spark.operators import textanalysis
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "\tthe and of a gibberish"),
+        (4, "the la THE La"),  # tie material + case folding
+        (5, "der die das aber als du"),
+        (6, "zz qq ww"),
+        (7, "de de de the the the"),  # es/en tie -> smallest code wins
+        (8, "a " * 300 + "el " * 299),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = ["doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "lang_pred"]
+    got = sorted(map(tuple, textanalysis.lang_scores(df).select(cols).collect()))
+    spec = sorted(
+        map(tuple, textanalysis.lang_scores_rowwise(df).select(cols).collect())
+    )
+    assert got == spec
+    null_row = next(t for t in got if t[0] == 0)
+    assert null_row[1:] == (None, None, None, None, "und")
+    # and on the real fixture corpus
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got_f = sorted(map(tuple, textanalysis.lang_scores(docs).select(cols).collect()))
+    spec_f = sorted(
+        map(tuple, textanalysis.lang_scores_rowwise(docs).select(cols).collect())
+    )
+    assert got_f == spec_f
+
+
 def test_simhash_near_pairs_rejects_uncoverable_radius(spark):
     """c-chunk pigeonhole blocking only guarantees a shared exact chunk for
     hamming <= c - 1; a radius the configured chunk count cannot cover

@@ -132,6 +132,24 @@ def test_token_budget_pack_bucketed_window_is_hash_partitioned(spark):
     assert "SinglePartition" in glob  # the spec form really is global
 
 
+def test_lang_scores_plan_one_partial_agg_no_lambda(spark):
+    """The shipped lang_scores is explode + conditional-sum over a codegen
+    InSet: exactly ONE exchange (n_docs tiny count rows, after a map-side
+    partial agg) and NO interpreted lambda anywhere; the per-row spec twin
+    keeps zero exchanges but carries the lambdas — pinned so the contrast
+    (and the reason each form exists) stays visible."""
+    from curator_spark.operators import textanalysis
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textanalysis.lang_scores(docs))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "lambdafunction" not in plan, plan
+    assert _n_nodes(plan, "HashAggregate") == 2  # partial + final
+    spec = _plan(textanalysis.lang_scores_rowwise(docs))
+    assert _n_nodes(spec, "Exchange") == 0
+    assert "lambdafunction" in spec
+
+
 def test_embedding_near_dup_has_no_pair_cross_join(spark):
     """The blocked near-dup scorer must plan as ONE shuffle on the
     block-pair key feeding applyInPandas — never the O(n^2) pair join of
