@@ -161,3 +161,41 @@ def test_langid_batch_equals_per_row(corpus):
         got = rules.langid_token_stats_batch(batch)
         want = [rules.langid_token_stats(t) for t in batch]
         assert got == want
+
+
+def test_scrub_gate_precision_on_fixture(pages_pdf):
+    """The scrub fast path's cheap gates must stay NEARLY EXACT on the
+    fixture corpus — the measured property that justifies keeping scrub
+    per-row-gated instead of batch-scanned (ROUND3_NOTES "scrub decision").
+    A lexicon/regex edit that degrades a gate into firing on most clean
+    docs would silently re-add full regex passes per page at web scale;
+    this pins the gate precision so that regression fails CI.
+
+    Measured r4 on sf0.001: email gate 3.00x true matchers (plain '@' also
+    appears in the @-mention fixture docs), every other gate exactly 1.00x.
+    """
+    texts = [
+        rules.extract_text(h)[: rules.TRUNCATE_CHARS] for h in pages_pdf["html"]
+    ]
+    gates = {
+        "email": lambda t: "@" in t,
+        "phone": lambda t: rules._DIGIT_RE.search(t) is not None
+        and rules._PHONE_GATE_RE.search(t) is not None,
+        "ip": lambda t: rules._DIGIT_RE.search(t) is not None and "." in t,
+        "ssn": lambda t: rules._DIGIT_RE.search(t) is not None and "-" in t,
+        "toxicity": lambda t: any(w in t.lower() for w in rules.TOXICITY_LEXICON),
+    }
+    pats = {name: pat for name, pat, _ in rules.SCRUB_PATTERNS}
+    pats["toxicity"] = rules._TOX_RE
+    max_ratio = {"email": 3.5, "phone": 1.2, "ip": 1.2, "ssn": 1.2, "toxicity": 1.2}
+    for name, gate in gates.items():
+        fired = sum(1 for t in texts if gate(t))
+        true = sum(1 for t in texts if pats[name].search(t) is not None)
+        # soundness: a gate may never SKIP a doc with a true match
+        assert all(gate(t) for t in texts if pats[name].search(t) is not None), name
+        # precision: the gate must not fire on much more than the true set
+        assert fired <= max_ratio[name] * max(true, 1), (
+            f"{name} gate precision degraded: fires {fired} vs {true} true "
+            f"matchers (ratio {fired / max(true, 1):.2f})"
+        )
+        assert true >= 10, f"fixture no longer exercises {name}"

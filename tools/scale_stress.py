@@ -1,0 +1,141 @@
+"""10x scale-stress run (round-4 verdict item): 1.2M pages / 1.2M docs.
+
+Every routine bench number is sf0.1 at 24x replication (120k pages, 5k base
+docs). This harness exercises the same plans at 10x that volume to convert
+the plan-shape scaling argument into measured evidence:
+
+- flagship quality-filter pipeline at BENCH_PAGES_REPLICATION=240
+  (1.2M pages) via bench.py's pinned --pipeline-once subprocess;
+- the dedup family (exact_dedup, minhash_lsh_pairs, minhash_jaccard_dedup,
+  near_dup_survivors, simhash_near_pairs) over a 240x-replicated documents
+  table (1.2M docs), with a 24x (120k docs) run of the same mutated corpus
+  as the linearity baseline.
+
+Replica mutation: every token w becomes "r{k}_w" — the VOCABULARY is
+renamed per replica, token/shingle counts are untouched. Within a replica
+the full relationship structure (exact dups, near dups, components) is
+preserved; across replicas no word or shingle is shared, so cross-replica
+pairs vanish and total pair volume scales linearly in k. (A first attempt
+that INSERTED a replica token between words was discarded: the inserted
+token became ~half of every doc's multiset, collapsing all within-replica
+simhashes onto the token's hash — 25M bogus pairs at 10k docs.)
+Deterministic — pure function of (base corpus, k).
+
+Usage: python tools/scale_stress.py [cpus] [small_rep] [big_rep]
+Writes nothing outside /tmp; prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+SMALL = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+BIG = int(sys.argv[3]) if len(sys.argv) > 3 else 240
+SF_DIR = "/root/testdata/sf0.1"
+DEDUP_QUERIES = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_jaccard_dedup",
+    "near_dup_survivors",
+    "simhash_near_pairs",
+]
+
+
+def replicated_docs_dir(spark, k: int) -> str:
+    out = f"/tmp/scale_sf_x{k}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        reps = spark.range(k).withColumnRenamed("id", "rep")
+        mutated = (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n)).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(^|\s)(?=\S)"),
+                    F.concat(F.lit("$1r"), F.col("rep").cast("string"), F.lit("_")),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        mutated.repartition(max(CPUS, 16)).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        open(marker, "w").close()
+    return out
+
+
+def run_dedup_family(spark, sf_dir: str, tag: str) -> dict:
+    from curator_spark import queries as q
+
+    walls, rows = {}, {}
+    for name in DEDUP_QUERIES:
+        df = q.Q[name](spark, sf_dir)
+        t0 = time.monotonic()
+        n = df.count()
+        walls[name] = round(time.monotonic() - t0, 2)
+        rows[name] = n
+    rec = {"stress": f"dedup_{tag}", "cpus": CPUS, "walls_sec": walls, "rows": rows}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def run_flagship(rep: int, cores: int) -> dict:
+    from curator_spark.datagen import pages_path_for
+
+    path = pages_path_for(SF_DIR, cache_root="/tmp/scale_pages", replication=rep)
+    cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-once", str(cores), path]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    t0 = time.monotonic()
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, timeout=3000)
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    rec = {
+        "stress": f"flagship_x{rep}",
+        "cores": cores,
+        "wall_sec": round(r["wall"], 2),
+        "rows": r["rows"],
+        "docs_per_sec": round(r["rows"] / r["wall"], 1),
+        "subprocess_total_sec": round(time.monotonic() - t0, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> None:
+    from curator_spark.session import get_spark
+
+    # flagship first (own pinned subprocesses; no session held here)
+    for rep in (SMALL, BIG):
+        for cores in (16, 32):
+            run_flagship(rep, cores)
+
+    spark = get_spark(
+        app_name="scale-stress",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=4 * CPUS,
+    )
+    for k in (SMALL, BIG):
+        d = replicated_docs_dir(spark, k)
+        run_dedup_family(spark, d, f"x{k}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
