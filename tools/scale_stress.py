@@ -86,8 +86,11 @@ def run_dedup_family(spark, sf_dir: str, tag: str) -> dict:
 
     walls, rows = {}, {}
     for name in DEDUP_QUERIES:
-        df = q.Q[name](spark, sf_dir)
+        # time CONSTRUCTION + count: connected_components localCheckpoints
+        # eagerly during construction, so timing count() alone would hide
+        # the whole pair-finding phase of near_dup_survivors
         t0 = time.monotonic()
+        df = q.Q[name](spark, sf_dir)
         n = df.count()
         walls[name] = round(time.monotonic() - t0, 2)
         rows[name] = n
