@@ -438,6 +438,42 @@ def run_incremental(
         raise
 
 
+def _prior_output_by_chunk(
+    spark: SparkSession, config: RunConfig, prior: RunResult
+) -> tuple[DataFrame, bool]:
+    """Prior committed output with a ``chunk`` column for the per-chunk merge.
+
+    The committed layout is already ``chunk=c`` directories, so when the
+    prior run's chunk layout (salt, num_chunks) matches the new config the
+    directory names ARE the membership: reading them as a Hive partition
+    column makes each per-chunk ``filter(chunk == c)`` prune to ONE directory
+    at file level. Recomputing membership as ``pmod(xxhash64(url), k)`` (the
+    pre-round-4 form) defeats pruning — every per-chunk merge job re-scanned
+    the FULL prior output, i.e. num_chunks full scans at 100 TB. A prior run
+    with a different layout (different salt or chunk count) still falls back
+    to the recompute form, which re-buckets rows correctly.
+
+    Returns (df, pruned) — ``pruned`` tells tests/callers which path ran.
+    """
+    layout = None
+    try:
+        with open(os.path.join(prior.run_dir, "manifest.json")) as f:
+            c = json.load(f).get("config", {})
+        layout = (c.get("salt"), c.get("num_chunks"))
+    except (OSError, json.JSONDecodeError):
+        pass  # legacy/partial prior dir: fall back to recomputed membership
+    if layout == (config.salt, config.num_chunks):
+        df = spark.read.option("basePath", prior.run_dir).parquet(
+            os.path.join(prior.run_dir, "chunk=*")
+        )
+        return df, True
+    df = spark.read.parquet(os.path.join(prior.run_dir, "chunk=*")).withColumn(
+        "chunk",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(config.salt)), F.lit(config.num_chunks)),
+    )
+    return df, False
+
+
 def _run_incremental_body(
     spark: SparkSession,
     config: RunConfig,
@@ -459,10 +495,7 @@ def _run_incremental_body(
     new_out.write.mode("overwrite").partitionBy("chunk").parquet(staging)
     wall_ms = int((time.monotonic() - t0) * 1000)
 
-    prior_by_chunk = spark.read.parquet(os.path.join(prior.run_dir, "chunk=*")).withColumn(
-        "chunk",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(config.salt)), F.lit(config.num_chunks)),
-    )
+    prior_by_chunk, _ = _prior_output_by_chunk(spark, config, prior)
     for chunk in range(config.num_chunks):
         cdir = _chunk_dir(run_dir, chunk)
         src = os.path.join(staging, f"chunk={chunk}")

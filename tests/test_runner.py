@@ -230,6 +230,40 @@ def test_incremental_catalog_lifecycle(spark, tmp_path):
     assert list(inc["status"]) == ["STARTED", "COMPLETED"]
 
 
+def test_incremental_prior_scan_is_partition_pruned(spark, pages_path, tmp_path):
+    """The per-chunk merge must read the prior output's `chunk=c` directory
+    names as a partition column (file-level pruning), not recompute url-hash
+    membership over the full prior output — the recompute form costs
+    num_chunks full prior scans at scale. Layout mismatch falls back."""
+    from pyspark.sql import functions as F
+
+    cfg = R.RunConfig(input_path=pages_path, output_root=str(tmp_path / "outp"), num_chunks=3)
+    res = R.run_quality_filter(spark, cfg)
+
+    prior_df, pruned = R._prior_output_by_chunk(spark, cfg, res)
+    assert pruned
+    one = prior_df.filter(F.col("chunk") == 0)
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    # partition filter reaches the scan, and no hash recompute exists
+    assert "PartitionFilters: [" in plan and "xxhash64" not in plan
+    detail = plan[plan.index("PartitionFilters: [") :].splitlines()[0]
+    assert "chunk" in detail
+    # pruned read still yields exactly the committed chunk's rows
+    direct = spark.read.parquet(os.path.join(res.run_dir, "chunk=0"))
+    assert one.count() == direct.count() > 0
+
+    # a prior run with a different layout must fall back to recompute
+    cfg_other = R.RunConfig(
+        input_path=pages_path, output_root=str(tmp_path / "outp"), num_chunks=5
+    )
+    fallback_df, pruned2 = R._prior_output_by_chunk(spark, cfg_other, res)
+    assert not pruned2
+    # fallback re-buckets: 5-way membership over the 3-chunk prior output
+    assert fallback_df.select("chunk").distinct().count() == 5
+
+
 def test_fingerprint_sensitivity(pages_path, tmp_path):
     a = R.run_fingerprint(_config(pages_path, tmp_path, salt="s1"))
     b = R.run_fingerprint(_config(pages_path, tmp_path, salt="s2"))
