@@ -82,6 +82,95 @@ def shingle_rows(df: DataFrame, text_col: str = "text", key: str = "doc_id", w: 
     )
 
 
+def positioned_shingle_rows(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", w: int = 3
+) -> DataFrame:
+    """``shingle_rows`` plus the 1-based start-token index: (id, pos, s).
+
+    The position column is what span-level operators (``duplicate_spans``,
+    ``repetition_signals``) need to map a duplicated shingle back onto the
+    token range it covers. Same codegen shape as ``shingle_rows`` —
+    explode(sequence) start indices, ``slice`` + ``concat_ws``, no
+    interpreted lambda; docs with < w tokens contribute no rows. (id, pos)
+    is unique per input row, so every downstream window ordered by pos is
+    deterministic."""
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    d = (
+        df.select(F.col(key).alias("id"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= w)
+        .select(
+            "id",
+            "_toks",
+            F.explode(F.sequence(F.lit(1), F.size("_toks") - (w - 1))).alias("pos"),
+        )
+    )
+    return d.select(
+        "id", "pos", F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), w)).alias("s")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", w: int = 8
+) -> DataFrame:
+    """Substring-level dedup: maximal token spans covered by w-token
+    shingles that occur in >= 2 DISTINCT documents (the span-extraction
+    step of suffix-array training-data dedup — Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" —
+    re-expressed as a shingle join instead of a suffix array; the
+    reference's own dedup is doc-level only, so this is a beyond-reference
+    pipeline operator).
+
+    Returns (key, span_start, span_end, n_dup_shingles): 1-based inclusive
+    token indices of each maximal duplicated span and the number of
+    duplicated shingles merged into it. Two duplicated shingles merge into
+    one span when the earlier one's half-open end ``pos + w`` reaches the
+    later one's start — i.e. overlapping OR back-to-back coverage, never
+    across an uncovered token gap.
+
+    Plan shape (the 100 TB story):
+    - shingles never carry text through a shuffle: the dup-shingle set is a
+      hash aggregation on the shingle string with map-side partial agg, and
+      "appears in >= 2 distinct docs" is the agg-friendly
+      ``min(id) != max(id)`` (no count-distinct expand);
+    - the join back is shuffle-hash on the same key the aggregation just
+      partitioned by, so AQE/ReuseExchange can reuse the exchange;
+    - span merging is the gaps-and-islands pattern under a
+      ``partitionBy(doc)`` window — hash-partitioned, no global sort."""
+    sh = positioned_shingle_rows(df, text_col, key, w)
+    dup = (
+        sh.groupBy("s")
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("s")
+    )
+    hits = sh.join(dup, "s").select("id", "pos")
+
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    g = hits.withColumn("_brk", brk).withColumn(
+        "_island", F.sum("_brk").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        g.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (w - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_dup_shingles"),
+        )
+        .select(F.col("id").alias(key), "span_start", "span_end", "n_dup_shingles")
+    )
+
+
 # ---------------------------------------------------------------------------
 # D1. Exact dedup by content hash.
 # ---------------------------------------------------------------------------

@@ -272,3 +272,97 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
         # HOF, and a second reference re-evaluates every window md5
         F.size(starts).cast("long").alias("fp_windows"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", dup_n: int = 3
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", App. A1.1 — the repetition-removal half of its quality filter;
+    a beyond-reference pipeline operator: the flagship heuristics cover
+    repeated LINES, this covers repeated n-grams):
+
+      n_words   — whitespace token count (0-token docs emit a row too)
+      top2_frac — occurrences of the most frequent 2-gram / total 2-grams
+      top3_frac — same at 3-grams
+      dup_frac  — fraction of token positions covered by ``dup_n``-grams
+                  that occur >= 2 times WITHIN the doc (coverage via
+                  gaps-and-islands merge, so overlapping repeats are not
+                  double-counted). Gopher uses n in 5..10 on real web text;
+                  the default 3 keeps the signal non-vacuous on short docs.
+
+    All fractions are long/long divisions of identical integer operands in
+    Spark and the DuckDB oracle, so the doubles are bit-equal cross-engine.
+
+    Plan shape: three shingle branches over one cached-scan-friendly input —
+    each is explode -> hash agg with map-side partial agg keyed (doc, gram),
+    then a tiny per-doc agg; the coverage branch adds one doc-partitioned
+    window (hash-partitioned, no global sort) and every join back to the
+    per-doc base is on doc_id. Nothing corpus-wide ever single-partitions."""
+    from .dedup import positioned_shingle_rows, shingle_rows
+
+    base = df.select(
+        F.col(key).alias("id"), F.size(words(F.col(text_col))).cast("long").alias("n_words")
+    )
+
+    def top_frac(w: int, out: str) -> DataFrame:
+        counts = (
+            shingle_rows(df, text_col, key, w=w)
+            .groupBy("id", "s")
+            .agg(F.count("*").alias("_c"))
+        )
+        return counts.groupBy("id").agg(
+            (F.max("_c") / F.sum("_c")).alias(out)
+        )
+
+    f2 = top_frac(2, "top2_frac")
+    f3 = top_frac(3, "top3_frac")
+
+    sh = positioned_shingle_rows(df, text_col, key, w=dup_n)
+    dup = (
+        sh.groupBy("id", "s")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("id", "s")
+    )
+    hits = sh.join(dup, ["id", "s"]).select("id", "pos")
+
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + dup_n).over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    islands = hits.withColumn("_brk", brk).withColumn(
+        "_island", F.sum("_brk").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("id", "_island").agg(
+        F.min("pos").alias("_a"), (F.max("pos") + (dup_n - 1)).alias("_b")
+    )
+    cov = spans.groupBy("id").agg(
+        F.sum(F.col("_b") - F.col("_a") + 1).cast("long").alias("_covered")
+    )
+
+    out = (
+        base.join(f2, "id", "left")
+        .join(f3, "id", "left")
+        .join(cov, "id", "left")
+        .select(
+            F.col("id").alias(key),
+            "n_words",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+            F.when(
+                F.col("n_words") > 0,
+                F.coalesce(F.col("_covered").cast("double"), F.lit(0.0))
+                / F.col("n_words").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+    return out

@@ -797,36 +797,41 @@ def q_regional_revenue(spark, sf_dir):
 @_register(
     "anti_join_resume",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT c_custkey, 'pending' AS side FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    UNION ALL
+    SELECT c_custkey, 'completed_rich' AS side FROM customer c
+    WHERE c_acctbal > 1000
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def q_anti_join_resume(spark, sf_dir):
-    """J2/F1: the resume anti-join — input keys minus completed keys
-    (base_online_request_processor.py:332-336,354 semantics). The completed
-    set is the orders placed since 2000 (so both sides are non-empty)."""
+    """J2 + J3 / F1 in one query (r4 fold: the old ``semi_join_completed``
+    lives in the 'completed_rich' branch, freeing a registry slot under the
+    50-entry driver cap — VERDICT r3 #8). The 'pending' branch is the
+    resume anti-join — input keys minus completed keys
+    (base_online_request_processor.py:332-336,354 semantics), completed =
+    orders placed since 2000 (so both sides are non-empty); the
+    'completed_rich' branch is the left-semi probe of rich customers with
+    any order at all."""
     c = _t(spark, sf_dir, "customer")
-    o = (
+    recent = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
-
-
-@_register(
-    "semi_join_completed",
-    """
-    SELECT c_custkey, c_acctbal FROM customer c
-    WHERE c_acctbal > 1000 AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def q_semi_join_completed(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_acctbal")
+    pending = c.join(recent, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("pending").alias("side")
+    )
+    any_order = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    completed = (
+        c.filter(F.col("c_acctbal") > 1000)
+        .join(any_order, "c_custkey", "left_semi")
+        .select("c_custkey", F.lit("completed_rich").alias("side"))
+    )
+    return pending.unionByName(completed)
 
 
 @_register(
@@ -963,19 +968,33 @@ def q_sketch_quantiles_hll(spark, sf_dir):
 @_register(
     "deterministic_sample",
     """
-    SELECT doc_id FROM documents
-    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    WITH halves AS (
+      SELECT doc_id, 'even' AS half FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 'odd' AS half FROM documents WHERE doc_id % 2 = 1)
+    SELECT doc_id, half FROM halves
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || half), doc_id, half
     LIMIT 20
     """,
 )
 def q_deterministic_sample(spark, sf_dir):
-    """O5: shuffle(seed).take(N) re-expressed as a content-hash order — the
-    reshuffle-stable form of download_data.py:21-22."""
+    """O5 + O2 in one query (r4 fold: the old ``union_scan`` even/odd
+    multi-file response union — base_request_processor.py:388,406 — is now
+    the sampled input, freeing a registry slot under the 50-entry driver
+    cap — VERDICT r3 #8). shuffle(seed).take(N) re-expressed as a
+    content-hash order — the reshuffle-stable form of download_data.py:21-22."""
     d = _t(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", F.lit("even").alias("half"))
+    odd = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", F.lit("odd").alias("half"))
+    halves = even.unionByName(odd)
     return (
-        d.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        halves.orderBy(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("half"))),
+            F.col("doc_id"),
+            F.col("half"),
+        )
         .limit(20)
-        .select("doc_id")
+        .select("doc_id", "half")
     )
 
 
@@ -1159,21 +1178,98 @@ def q_events_error_filter(spark, sf_dir):
     )
 
 
+_DUP_SPAN_W = 8  # shingle width for the registered duplicate_spans query
+
+
 @_register(
-    "union_scan",
-    """
-    SELECT doc_id, 'even' AS half FROM documents WHERE doc_id % 2 = 0
-    UNION ALL
-    SELECT doc_id, 'odd' AS half FROM documents WHERE doc_id % 2 = 1
-    """,
+    "duplicate_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {{_SQL_TOKS}} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(w[CAST(i AS INTEGER):CAST(i + {_DUP_SPAN_W - 1} AS INTEGER)], ' ') AS s
+      FROM t, unnest(range(1, len(w) - {_DUP_SPAN_W - 2})) AS u(i)
+      WHERE len(w) >= {_DUP_SPAN_W}),
+    dup AS (SELECT s FROM sh GROUP BY s HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+    i AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {_DUP_SPAN_W}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    g AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM i)
+    SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+           CAST(max(pos) + {_DUP_SPAN_W - 1} AS INTEGER) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_dup_shingles
+    FROM g GROUP BY doc_id, isl
+    """.replace("{_SQL_TOKS}", _SQL_TOKS),
 )
-def q_union_scan(spark, sf_dir):
-    """O2: multi-file response union scan analog — unionByName of stage
-    outputs (base_request_processor.py:388,406)."""
-    d = _t(spark, sf_dir, "documents")
-    even = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", F.lit("even").alias("half"))
-    odd = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", F.lit("odd").alias("half"))
-    return even.unionByName(odd)
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level dedup (new r4): maximal token spans covered by
+    8-token shingles occurring in >= 2 distinct docs — the span-extraction
+    step of suffix-array training-data dedup, as a shingle-join +
+    gaps-and-islands plan (dedup.duplicate_spans)."""
+    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), w=_DUP_SPAN_W)
+
+
+@_register(
+    "repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {{_SQL_TOKS}} AS w FROM documents),
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM t),
+    g2 AS (SELECT doc_id, array_to_string(w[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ') AS s
+           FROM t, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+    c2 AS (SELECT doc_id, s, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    f2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2_frac
+           FROM c2 GROUP BY 1),
+    g3 AS (SELECT doc_id, array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS s
+           FROM t, unnest(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+    c3 AS (SELECT doc_id, s, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    f3 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top3_frac
+           FROM c3 GROUP BY 1),
+    gd AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                  array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ') AS s
+           FROM t, unnest(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+    dd AS (SELECT doc_id, s FROM gd GROUP BY doc_id, s HAVING COUNT(*) >= 2),
+    hd AS (SELECT g.doc_id, g.pos FROM gd g JOIN dd d ON g.doc_id = d.doc_id AND g.s = d.s),
+    id_ AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 3) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM hd),
+    sd AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM id_),
+    spd AS (SELECT doc_id, min(pos) AS a, max(pos) + 2 AS b FROM sd GROUP BY doc_id, isl),
+    covd AS (SELECT doc_id, CAST(SUM(b - a + 1) AS BIGINT) AS covered FROM spd GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words,
+           coalesce(f2.top2_frac, 0.0) AS top2_frac,
+           coalesce(f3.top3_frac, 0.0) AS top3_frac,
+           CASE WHEN b.n_words > 0
+                THEN coalesce(CAST(covd.covered AS DOUBLE), 0.0) / CAST(b.n_words AS DOUBLE)
+                ELSE 0.0 END AS dup_frac
+    FROM base b LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+    LEFT JOIN covd USING (doc_id)
+    """.replace("{_SQL_TOKS}", _SQL_TOKS),
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (new r4): top-2/3-gram
+    occurrence fractions + fraction of token positions covered by repeated
+    3-grams (islands-merged, dup_n=3 keeps the signal non-vacuous on the
+    ~50-word fixture docs; textanalysis.repetition_signals)."""
+    return textanalysis.repetition_signals(
+        _t(spark, sf_dir, "documents"), dup_n=3
+    )
 
 
 @_register(

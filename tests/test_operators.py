@@ -767,3 +767,123 @@ def test_as_vec_degeneracy_contract():
     assert nanv is not None and np.isnan(nanv[1])
     v = _as_vec([1.0, 2.0], dim=2)
     assert v is not None and v.dtype == np.float64 and v.tolist() == [1.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# Span-level dedup + repetition signals (r4 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_hand_fixture(spark):
+    """Planted cross-doc duplicated run: doc A = X(3) + S(10) + Y(2),
+    doc B = Z(5) + S(10), doc C unique. With w=8 the shared 8-shingles are
+    exactly the 3 windows fully inside S, so each doc reports ONE maximal
+    span covering S and nothing else."""
+    S = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (0, "x1 x2 x3 " + S + " y1 y2"),
+        (1, "z1 z2 z3 z4 z5 " + S),
+        (2, " ".join(f"u{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_shingles)
+        for r in dedup.duplicate_spans(df, w=8).collect()
+    }
+    # doc 0: S occupies tokens 4..13 -> shingle starts 4,5,6; span 4..13
+    # doc 1: S occupies tokens 6..15 -> shingle starts 6,7,8; span 6..15
+    assert got == {(0, 4, 13, 3), (1, 6, 15, 3)}
+
+
+def test_duplicate_spans_gap_splits_islands(spark):
+    """Two shared runs separated by an uncovered gap must stay two spans;
+    back-to-back coverage (no uncovered token between) merges into one."""
+    S1 = " ".join(f"a{i}" for i in range(8))   # exactly one 8-shingle
+    S2 = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (0, S1 + " gapx gapy gapz " + S2),  # gap of 3 unique tokens
+        (1, S1 + " " + S2),                 # back-to-back: spans touch
+        (2, S1),                            # second copy of S1
+        (3, S2),                            # second copy of S2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, w=8).collect()
+    }
+    # doc 0: S1 at 1..8, S2 at 12..19 -> two islands (gap tokens 9..11)
+    assert {(0, 1, 8), (0, 12, 19)} <= got
+    # doc 1: S1 at 1..8, S2 at 9..16 -> contiguous coverage, ONE island
+    assert (1, 1, 16) in got
+    assert not any(d == 1 and (a, b) != (1, 16) for d, a, b in got)
+
+
+def test_duplicate_spans_matches_duckdb_twin_at_w5(spark):
+    """The registered oracle pins w=8 at sf0.01 (driver + parity_check);
+    this pins a DIFFERENT width on sf0.001 so the operator, not one
+    parameterization, is what's verified."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_shingles)
+        for r in dedup.duplicate_spans(docs, w=5).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    toks = (
+        "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\r\\f\\x0B]+') END"
+    )
+    want = {
+        tuple(row)
+        for row in con.execute(
+            f"""
+            WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+            sh AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                          array_to_string(w[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS s
+                   FROM t, unnest(range(1, len(w) - 3)) AS u(i) WHERE len(w) >= 5),
+            dup AS (SELECT s FROM sh GROUP BY s HAVING min(doc_id) <> max(doc_id)),
+            hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+            i AS (SELECT doc_id, pos,
+                         CASE WHEN pos > coalesce(max(pos + 5) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                              THEN 1 ELSE 0 END AS brk FROM hits),
+            g AS (SELECT doc_id, pos,
+                         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM i)
+            SELECT doc_id, CAST(min(pos) AS INTEGER), CAST(max(pos) + 4 AS INTEGER),
+                   CAST(count(*) AS BIGINT)
+            FROM g GROUP BY doc_id, isl
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) >= 10  # non-vacuous on the fixture
+
+
+def test_repetition_signals_hand_fixture(spark):
+    """Hand-computable docs pin every output column of repetition_signals."""
+    from curator_spark.operators import textanalysis
+
+    rows = [
+        (0, "a b a b c"),                    # (a b)x2 of 4 2-grams; 3-grams distinct
+        (1, "x y z x y z x y z"),            # every 3-gram repeats; full coverage
+        (2, "q"),                            # 1 token: no grams at all
+        (3, ""),                             # blank: n_words 0, guarded division
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textanalysis.repetition_signals(df, dup_n=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    r0 = got[0]
+    assert (r0.n_words, r0.top2_frac, r0.top3_frac, r0.dup_frac) == (5, 2 / 4, 1 / 3, 0.0)
+    r1 = got[1]
+    # 2-grams: (x y)x3 of 8; 3-grams: (x y z)x3 of 7; dup-3gram hits at every
+    # start 1..7 -> one island covering tokens 1..9 -> 9/9
+    assert (r1.n_words, r1.top2_frac, r1.top3_frac, r1.dup_frac) == (9, 3 / 8, 3 / 7, 1.0)
+    assert (got[2].n_words, got[2].top2_frac, got[2].top3_frac, got[2].dup_frac) == (1, 0.0, 0.0, 0.0)
+    assert (got[3].n_words, got[3].top2_frac, got[3].top3_frac, got[3].dup_frac) == (0, 0.0, 0.0, 0.0)

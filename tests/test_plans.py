@@ -225,3 +225,38 @@ def test_simhash_near_pairs_join_is_bucket_local(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "BroadcastHashJoin") + _n_nodes(plan, "ShuffledHashJoin") >= 1
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Span dedup (r4): the dup-shingle set is a partial+final hash agg on
+    the shingle string (min!=max, no count-distinct expand), the island
+    window runs under hashpartitioning(id) — never SinglePartition — and
+    the final span agg reuses that same partitioning (NO third exchange:
+    2 shuffles total at this SF, where the join side broadcasts). No
+    interpreted lambda, no cartesian blowup."""
+    from curator_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.duplicate_spans(docs, w=8))
+    assert "SinglePartition" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(id" in plan
+    assert "partial_min" in plan or "partial_count" in plan  # map-side agg
+    assert _n_nodes(plan, "Exchange") == 2, plan
+
+
+def test_repetition_signals_plan_shape(spark):
+    """Repetition signals (r4): every gram branch aggregates with map-side
+    partials, the dup-coverage window is hash-partitioned on the doc key,
+    and nothing falls into SinglePartition / interpreted lambdas /
+    nested-loop joins."""
+    from curator_spark.operators import textanalysis
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textanalysis.repetition_signals(docs, dup_n=3))
+    assert "SinglePartition" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(id" in plan
+    assert "partial_count" in plan
