@@ -64,6 +64,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_jaccard_dedup",
+    "duplicate_spans",
     "similarity_topk",
     "heuristic_stats",
     "token_stats",

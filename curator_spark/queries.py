@@ -1187,11 +1187,13 @@ _DUP_SPAN_W = 8  # shingle width for the registered duplicate_spans query
     WITH t AS (SELECT doc_id, {{_SQL_TOKS}} AS w FROM documents),
     sh AS (
       SELECT doc_id, CAST(i AS INTEGER) AS pos,
-             array_to_string(w[CAST(i AS INTEGER):CAST(i + {_DUP_SPAN_W - 1} AS INTEGER)], ' ') AS s
+             CAST(concat('0x', substr(md5(
+               array_to_string(w[CAST(i AS INTEGER):CAST(i + {_DUP_SPAN_W - 1} AS INTEGER)], ' ')
+             ), 1, 15)) AS BIGINT) AS h
       FROM t, unnest(range(1, len(w) - {_DUP_SPAN_W - 2})) AS u(i)
       WHERE len(w) >= {_DUP_SPAN_W}),
-    dup AS (SELECT s FROM sh GROUP BY s HAVING min(doc_id) <> max(doc_id)),
-    hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+    hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
     i AS (
       SELECT doc_id, pos,
              CASE WHEN pos > coalesce(max(pos + {_DUP_SPAN_W}) OVER (
@@ -1213,8 +1215,11 @@ _DUP_SPAN_W = 8  # shingle width for the registered duplicate_spans query
 def q_duplicate_spans(spark, sf_dir):
     """Substring-level dedup (new r4): maximal token spans covered by
     8-token shingles occurring in >= 2 distinct docs — the span-extraction
-    step of suffix-array training-data dedup, as a shingle-join +
-    gaps-and-islands plan (dedup.duplicate_spans)."""
+    step of suffix-array training-data dedup. Shingles keyed by the 60-bit
+    md5-prefix int on BOTH engines (the minhash idiom), so the oracle is
+    exact even under a hash collision; single-pass h-window + gaps-and-
+    islands merge (dedup.duplicate_spans; string-keyed spec twin pinned
+    equal in pytest)."""
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), w=_DUP_SPAN_W)
 
 

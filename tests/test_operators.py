@@ -821,7 +821,10 @@ def test_duplicate_spans_gap_splits_islands(spark):
 def test_duplicate_spans_matches_duckdb_twin_at_w5(spark):
     """The registered oracle pins w=8 at sf0.01 (driver + parity_check);
     this pins a DIFFERENT width on sf0.001 so the operator, not one
-    parameterization, is what's verified."""
+    parameterization, is what's verified — and the DuckDB twin below keys
+    on the raw shingle STRING, so passing also proves the production
+    60-bit-hash keying loses nothing on this corpus. The string-keyed
+    Spark spec twin is pinned identical at the same time."""
     import duckdb
 
     sf = "/root/testdata/sf0.001"
@@ -830,6 +833,11 @@ def test_duplicate_spans_matches_duckdb_twin_at_w5(spark):
         (r.doc_id, r.span_start, r.span_end, r.n_dup_shingles)
         for r in dedup.duplicate_spans(docs, w=5).collect()
     }
+    spec = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_shingles)
+        for r in dedup.duplicate_spans_spec(docs, w=5).collect()
+    }
+    assert got == spec
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"

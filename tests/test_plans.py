@@ -228,22 +228,27 @@ def test_simhash_near_pairs_join_is_bucket_local(spark):
 
 
 def test_duplicate_spans_plan_shape(spark):
-    """Span dedup (r4): the dup-shingle set is a partial+final hash agg on
-    the shingle string (min!=max, no count-distinct expand), the island
-    window runs under hashpartitioning(id) — never SinglePartition — and
-    the final span agg reuses that same partitioning (NO third exchange:
-    2 shuffles total at this SF, where the join side broadcasts). No
-    interpreted lambda, no cartesian blowup."""
+    """Span dedup (r4): ONE pass over the shingles — dup detection is
+    min/max window aggregates over hashpartitioning(h) (8-byte md5-prefix
+    keys through the shuffle, never shingle strings; sort-based so a
+    boilerplate mega-shingle spills instead of exploding one agg buffer),
+    NO join back, and the island window's hashpartitioning(id) is reused
+    by the final span agg: exactly 2 exchanges, zero Join nodes. No
+    interpreted lambda, never SinglePartition. The string-keyed spec twin
+    keeps its agg+join shape (pinned equal row-wise in test_operators)."""
     from curator_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(dedup.duplicate_spans(docs, w=8))
     assert "SinglePartition" not in plan
     assert "lambdafunction" not in plan.lower()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "hashpartitioning(id" in plan
-    assert "partial_min" in plan or "partial_count" in plan  # map-side agg
     assert _n_nodes(plan, "Exchange") == 2, plan
+    assert "Join" not in plan, plan  # single-pass: no join back
+    assert "hashpartitioning(h" in plan and "hashpartitioning(id" in plan
+
+    spec = _plan(dedup.duplicate_spans_spec(docs, w=8))
+    assert "partial_min" in spec  # the twin's map-side agg stays partial
+    assert "lambdafunction" not in spec.lower()
 
 
 def test_repetition_signals_plan_shape(spark):

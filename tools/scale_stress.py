@@ -50,6 +50,10 @@ DEDUP_QUERIES = [
     "near_dup_survivors",
     "simhash_near_pairs",
 ]
+# STRESS_QUERIES=a,b,c overrides the query list; STRESS_SKIP_FLAGSHIP=1
+# skips the pinned flagship subprocesses (re-runs of a single family).
+if os.environ.get("STRESS_QUERIES"):
+    DEDUP_QUERIES = os.environ["STRESS_QUERIES"].split(",")
 
 
 def replicated_docs_dir(spark, k: int) -> str:
@@ -125,9 +129,10 @@ def main() -> None:
     from curator_spark.session import get_spark
 
     # flagship first (own pinned subprocesses; no session held here)
-    for rep in (SMALL, BIG):
-        for cores in (16, 32):
-            run_flagship(rep, cores)
+    if not os.environ.get("STRESS_SKIP_FLAGSHIP"):
+        for rep in (SMALL, BIG):
+            for cores in (16, 32):
+                run_flagship(rep, cores)
 
     spark = get_spark(
         app_name="scale-stress",
