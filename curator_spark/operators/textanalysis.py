@@ -274,6 +274,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     )
 
 
+def _repetition_row(text, dup_n: int):
+    """Per-doc repetition signals — the python twin the Arrow-batched
+    shipped form maps over each batch. Mirrors ``repetition_signals_sql``
+    bit-exactly: same integers into the same long/long divisions, same
+    interval-union coverage as the SQL gaps-and-islands merge, and the
+    corpus-pinned ``rules.tokens`` tokenizer (byte-equal to the Java/RE2
+    ``\\s+`` split the SQL twin and DuckDB oracle use)."""
+    from collections import Counter
+
+    from .. import rules
+
+    if text is None:
+        return None, 0.0, 0.0, 0.0  # SQL twin: n_words NULL, fracs 0.0
+    toks = rules.tokens(text)
+    n = len(toks)
+    if n < 2:
+        return n, 0.0, 0.0, 0.0
+    c2 = Counter(zip(toks, toks[1:]))
+    top2 = max(c2.values()) / (n - 1)
+    top3, covered = 0.0, 0
+    if n >= dup_n:
+        grams = list(zip(*(toks[i:] for i in range(dup_n))))
+        c3 = Counter(grams)
+        top3 = max(c3.values()) / (n - dup_n + 1)
+        end = -1  # exclusive end of current coverage (0-based token index)
+        for p, g in enumerate(grams):
+            if c3[g] >= 2:
+                if p + dup_n > end:
+                    covered += p + dup_n - max(p, end)
+                    end = p + dup_n
+        # covered/n: same integer operands as the SQL twin's SUM(b-a+1)/n
+    return n, top2, top3, covered / n
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", key: str = "doc_id", dup_n: int = 3
 ) -> DataFrame:
@@ -282,6 +316,47 @@ def repetition_signals(
     Gopher", App. A1.1 — the repetition-removal half of its quality filter;
     a beyond-reference pipeline operator: the flagship heuristics cover
     repeated LINES, this covers repeated n-grams):
+
+      n_words   — whitespace token count (NULL text -> NULL, like the twin)
+      top2_frac — occurrences of the most frequent 2-gram / total 2-grams
+      top3_frac — same at 3-grams
+      dup_frac  — fraction of token positions covered by ``dup_n``-grams
+                  that occur >= 2 times WITHIN the doc
+
+    Every signal is a WITHIN-doc function, so the shipped plan is ONE
+    Arrow-batched ``mapInPandas`` over the scan — ZERO exchanges (plan-
+    pinned). The SQL-expressible explode/agg/window form is retained as
+    ``repetition_signals_sql`` (it mirrors the DuckDB oracle literally and
+    is pinned bit-identical); it was measured 7x slower at 120k docs and
+    36x slower at 1.2M (19 s -> 2.6 s, 193 s -> 5.3 s): three corpus-wide
+    gram explosions through (doc, gram) shuffles lose badly to ~15 µs of
+    per-doc python when the semantics never cross a document boundary —
+    the same economics as the flagship's fused-UDF stage."""
+    import pandas as pd
+
+    out_schema = (
+        f"{key} long, n_words long, top2_frac double, top3_frac double, dup_frac double"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            sig = [_repetition_row(t, dup_n) for t in pdf[text_col]]
+            out = pd.DataFrame(sig, columns=["n_words", "top2_frac", "top3_frac", "dup_frac"])
+            out["n_words"] = out["n_words"].astype("Int64")  # keep NULL for null text
+            out.insert(0, key, pdf[key].values)
+            yield out
+
+    return df.select(key, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def repetition_signals_sql(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", dup_n: int = 3
+) -> DataFrame:
+    """SPEC twin of ``repetition_signals``: the declarative explode/agg/
+    window form that the DuckDB oracle mirrors CTE-for-CTE. Pinned
+    bit-identical to the shipped Arrow form; measured 7x/36x slower at
+    120k/1.2M docs (see the shipped docstring) because within-doc stats
+    pay three corpus-wide gram shuffles here.
 
       n_words   — whitespace token count (0-token docs emit a row too)
       top2_frac — occurrences of the most frequent 2-gram / total 2-grams

@@ -1271,7 +1271,10 @@ def q_repetition_signals(spark, sf_dir):
     """Gopher-style within-doc repetition signals (new r4): top-2/3-gram
     occurrence fractions + fraction of token positions covered by repeated
     3-grams (islands-merged, dup_n=3 keeps the signal non-vacuous on the
-    ~50-word fixture docs; textanalysis.repetition_signals)."""
+    ~50-word fixture docs). Shipped form = ONE Arrow-batched mapInPandas
+    (within-doc stats, zero exchanges; 36x over the explode/agg form at
+    1.2M docs); this oracle SQL mirrors the declarative spec twin
+    ``repetition_signals_sql``, pinned bit-identical in pytest."""
     return textanalysis.repetition_signals(
         _t(spark, sf_dir, "documents"), dup_n=3
     )

@@ -875,7 +875,8 @@ def test_duplicate_spans_matches_duckdb_twin_at_w5(spark):
 
 
 def test_repetition_signals_hand_fixture(spark):
-    """Hand-computable docs pin every output column of repetition_signals."""
+    """Hand-computable docs pin every output column of BOTH repetition
+    forms (shipped Arrow stage and the oracle-mirrored SQL twin)."""
     from curator_spark.operators import textanalysis
 
     rows = [
@@ -883,15 +884,33 @@ def test_repetition_signals_hand_fixture(spark):
         (1, "x y z x y z x y z"),            # every 3-gram repeats; full coverage
         (2, "q"),                            # 1 token: no grams at all
         (3, ""),                             # blank: n_words 0, guarded division
+        (4, None),                           # null text: n_words NULL, fracs 0.0
+        (5, "p q r s p q r"),                # partial overlap: (p q r) at 1,5 -> 3+3 covered of 7
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r.doc_id: r for r in textanalysis.repetition_signals(df, dup_n=3).collect()}
-    assert set(got) == {0, 1, 2, 3}
-    r0 = got[0]
-    assert (r0.n_words, r0.top2_frac, r0.top3_frac, r0.dup_frac) == (5, 2 / 4, 1 / 3, 0.0)
-    r1 = got[1]
-    # 2-grams: (x y)x3 of 8; 3-grams: (x y z)x3 of 7; dup-3gram hits at every
-    # start 1..7 -> one island covering tokens 1..9 -> 9/9
-    assert (r1.n_words, r1.top2_frac, r1.top3_frac, r1.dup_frac) == (9, 3 / 8, 3 / 7, 1.0)
-    assert (got[2].n_words, got[2].top2_frac, got[2].top3_frac, got[2].dup_frac) == (1, 0.0, 0.0, 0.0)
-    assert (got[3].n_words, got[3].top2_frac, got[3].top3_frac, got[3].dup_frac) == (0, 0.0, 0.0, 0.0)
+    for form in (textanalysis.repetition_signals, textanalysis.repetition_signals_sql):
+        got = {r.doc_id: r for r in form(df, dup_n=3).collect()}
+        assert set(got) == {0, 1, 2, 3, 4, 5}, form.__name__
+        r0 = got[0]
+        assert (r0.n_words, r0.top2_frac, r0.top3_frac, r0.dup_frac) == (5, 2 / 4, 1 / 3, 0.0)
+        r1 = got[1]
+        # 2-grams: (x y)x3 of 8; 3-grams: (x y z)x3 of 7; dup-3gram hits at
+        # every start 1..7 -> one island covering tokens 1..9 -> 9/9
+        assert (r1.n_words, r1.top2_frac, r1.top3_frac, r1.dup_frac) == (9, 3 / 8, 3 / 7, 1.0)
+        assert (got[2].n_words, got[2].top2_frac, got[2].top3_frac, got[2].dup_frac) == (1, 0.0, 0.0, 0.0)
+        assert (got[3].n_words, got[3].top2_frac, got[3].top3_frac, got[3].dup_frac) == (0, 0.0, 0.0, 0.0)
+        assert (got[4].n_words, got[4].top2_frac, got[4].top3_frac, got[4].dup_frac) == (None, 0.0, 0.0, 0.0)
+        assert (got[5].n_words, got[5].dup_frac) == (7, 6 / 7)
+
+
+def test_repetition_signals_udf_equals_sql_twin(spark):
+    """The shipped Arrow-batched form must stay bit-identical to the
+    declarative SQL twin (the form the DuckDB oracle mirrors) on the real
+    corpus — every column, including the long/long division doubles."""
+    from curator_spark.operators import textanalysis
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in textanalysis.repetition_signals(docs, dup_n=3).collect()}
+    b = {tuple(r) for r in textanalysis.repetition_signals_sql(docs, dup_n=3).collect()}
+    assert a == b and len(a) == 500
+    assert any(r[4] > 0 for r in a)  # dup coverage non-vacuous on the fixture

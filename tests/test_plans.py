@@ -252,16 +252,21 @@ def test_duplicate_spans_plan_shape(spark):
 
 
 def test_repetition_signals_plan_shape(spark):
-    """Repetition signals (r4): every gram branch aggregates with map-side
-    partials, the dup-coverage window is hash-partitioned on the doc key,
-    and nothing falls into SinglePartition / interpreted lambdas /
-    nested-loop joins."""
+    """Repetition signals (r4): within-doc stats must never shuffle — the
+    shipped form is ONE Arrow-batched python stage over the scan, ZERO
+    exchanges. The SQL spec twin keeps the declarative shape the oracle
+    mirrors: map-side partial aggs, hash-partitioned dup-coverage window,
+    no SinglePartition / interpreted lambdas / nested-loop joins."""
     from curator_spark.operators import textanalysis
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(textanalysis.repetition_signals(docs, dup_n=3))
-    assert "SinglePartition" not in plan
-    assert "lambdafunction" not in plan.lower()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    assert "hashpartitioning(id" in plan
-    assert "partial_count" in plan
+    assert _n_nodes(plan, "Exchange") == 0, plan
+    assert "MapInPandas" in plan
+
+    spec = _plan(textanalysis.repetition_signals_sql(docs, dup_n=3))
+    assert "SinglePartition" not in spec
+    assert "lambdafunction" not in spec.lower()
+    assert "CartesianProduct" not in spec and "BroadcastNestedLoopJoin" not in spec
+    assert "hashpartitioning(id" in spec
+    assert "partial_count" in spec

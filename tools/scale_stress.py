@@ -90,14 +90,19 @@ def run_dedup_family(spark, sf_dir: str, tag: str) -> dict:
 
     walls, rows = {}, {}
     for name in DEDUP_QUERIES:
-        # time CONSTRUCTION + count: connected_components localCheckpoints
-        # eagerly during construction, so timing count() alone would hide
-        # the whole pair-finding phase of near_dup_survivors
+        # time CONSTRUCTION + full materialization: connected_components
+        # localCheckpoints eagerly during construction, so timing the action
+        # alone would hide the whole pair-finding phase of
+        # near_dup_survivors — and the action must be a noop WRITE, not
+        # count(): Catalyst eliminates cardinality-preserving left joins
+        # (aggregates are provably unique on their grouping keys) under
+        # count(), which hid 98% of repetition_signals' first-cut cost
+        # (count 2.6 s vs real 193 s at 1.2M docs).
         t0 = time.monotonic()
         df = q.Q[name](spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         walls[name] = round(time.monotonic() - t0, 2)
-        rows[name] = n
+        rows[name] = df.count()
     rec = {"stress": f"dedup_{tag}", "cpus": CPUS, "walls_sec": walls, "rows": rows}
     print(json.dumps(rec), flush=True)
     return rec
