@@ -441,3 +441,45 @@ def repetition_signals_sql(
         )
     )
     return out
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-host extraction from a url — the grouping key for
+    domain-level corpus controls. Pure Java/RE2-subset regex (no
+    lookaround), NULL-safe: non-matching / null urls yield NULL."""
+    d = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    return F.when(d == "", F.lit(None).cast("string")).otherwise(F.lower(d))
+
+
+def domain_cap(
+    df: DataFrame, cap: int, url_col: str = "url", order_col: str | None = None
+) -> DataFrame:
+    """Per-domain quota (the C4/RefinedWeb anti-domination step): keep at
+    most ``cap`` pages per registrable host, deterministically.
+
+    Preference order within a domain: ``order_col`` descending when given
+    (e.g. a quality score), content-hash order otherwise (md5(url) — the
+    repo's seeded-shuffle idiom, reshuffle/retry-stable); url is always the
+    final tiebreak, so the kept set is a pure function of row content.
+
+    Scale shape: rank-filter over ``Window.partitionBy(domain)`` keeps
+    Spark's WindowGroupLimit pushdown (plan-pinned) — each map task prunes
+    to ``cap`` rows per domain BEFORE the shuffle, so a mega-domain
+    (boilerplate farm, 10^9 pages) ships ~cap rows per input split instead
+    of sorting 10^9 rows in one window partition. Pages with NULL/
+    unparseable urls form their own NULL-domain group (window partitions
+    treat NULL as one key), never a crash."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("_domain", url_domain(F.col(url_col)))
+    if order_col is not None:
+        order = [F.col(order_col).desc(), F.col(url_col).asc()]
+    else:
+        order = [F.md5(F.col(url_col)).asc(), F.col(url_col).asc()]
+    w = Window.partitionBy("_domain").orderBy(*order)
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+        .withColumnRenamed("_domain", "domain")
+    )

@@ -914,3 +914,47 @@ def test_repetition_signals_udf_equals_sql_twin(spark):
     b = {tuple(r) for r in textanalysis.repetition_signals_sql(docs, dup_n=3).collect()}
     assert a == b and len(a) == 500
     assert any(r[4] > 0 for r in a)  # dup coverage non-vacuous on the fixture
+
+
+def test_domain_cap_hand_fixture(spark):
+    """Per-domain quota: cap enforced per registrable host, deterministic
+    preference (order_col desc when given, content-hash otherwise), NULL /
+    unparseable urls form their own group and never crash."""
+    from curator_spark.operators import textanalysis as ta
+
+    rows = [
+        (f"https://big.example.org/p{i}", float(i)) for i in range(10)
+    ] + [
+        ("https://small.example.org/only", 99.0),
+        ("HTTPS://Big.EXAMPLE.org/extra", 50.0),   # scheme/host case-folded
+        ("not a url at all", 1.0),
+        (None, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "url string, score double")
+
+    capped = ta.domain_cap(df, cap=3, order_col="score").collect()
+    by_dom = {}
+    for r in capped:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert len(by_dom["big.example.org"]) == 3
+    # preference = score desc: extra(50) + p9(9) + p8(8)
+    assert {r.score for r in by_dom["big.example.org"]} == {50.0, 9.0, 8.0}
+    assert len(by_dom["small.example.org"]) == 1
+    assert len(by_dom[None]) == 2  # null url + unparseable share the NULL group
+
+    # content-hash order (no order_col): still exactly cap rows, and the
+    # kept set is stable across re-evaluation (pure function of content)
+    a = {r.url for r in ta.domain_cap(df, cap=3).collect()}
+    b = {r.url for r in ta.domain_cap(df.repartition(7), cap=3).collect()}
+    assert a == b and sum(u is not None and "big" in u.lower() for u in a) == 3
+
+
+def test_url_domain_edges(spark):
+    from curator_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame(
+        [("https://A.B.c/x?q=1",), ("ftp://h0st:8080/f",), ("//nope",), ("",), (None,)],
+        "url string",
+    )
+    got = [r.d for r in df.select(ta.url_domain(F.col("url")).alias("d")).collect()]
+    assert got == ["a.b.c", "h0st:8080", None, None, None]

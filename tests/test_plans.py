@@ -270,3 +270,17 @@ def test_repetition_signals_plan_shape(spark):
     assert "CartesianProduct" not in spec and "BroadcastNestedLoopJoin" not in spec
     assert "hashpartitioning(id" in spec
     assert "partial_count" in spec
+
+
+def test_domain_cap_keeps_group_limit_pushdown(spark):
+    """domain_cap must ride WindowGroupLimit: each map task prunes to cap
+    rows per domain BEFORE the shuffle, so a mega-domain never sorts its
+    full page set in one window partition."""
+    from curator_spark.operators import textanalysis as ta
+
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "concat('https://d', CAST(doc_id % 7 AS STRING), '.example.org/p', doc_id) AS url"
+    )
+    plan = _plan(ta.domain_cap(pages, cap=5))
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
