@@ -1106,3 +1106,80 @@ def embedding_near_dup_pairs(
         .applyInPandas(_score_block, schema=f"id_a {id_type}, id_b {id_type}")
         .select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"))
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", w: int = 8
+) -> DataFrame:
+    """The ACTION half of substring-level dedup (Lee et al. 2021 policy
+    analog): remove every duplicated w-shingle span from every document
+    EXCEPT the one canonical owner, so each span's content survives exactly
+    once in the corpus.
+
+    Keep-one policy: for each duplicated shingle, the minimum doc_id among
+    its owners keeps it (the same min-key-wins rule as ``exact_dedup`` /
+    ``near_dup_survivors``); a hit is removable in doc d iff d != min(id).
+    Removable hits merge into maximal spans per doc (same gaps-and-islands
+    contract as ``duplicate_spans``), and those token ranges are cut.
+
+    Output (key, text_stripped, n_words, n_removed): ``text_stripped`` is
+    the WHITESPACE-NORMALIZED token sequence minus removed spans, joined by
+    single spaces (the standard token-level dedup contract — original
+    inter-token whitespace is not preserved); docs with nothing to remove
+    pass through with n_removed = 0 (normalized the same way, so the column
+    is uniformly single-spaced). Pure function of row content: reshuffle/
+    retry-deterministic.
+
+    Plan: same single-pass hashed h-window as ``duplicate_spans`` (8-byte
+    keys, sort-based/spilling, no join for detection), then ONE small join
+    of per-doc span lists (collect_list bounded by doc length — spans per
+    doc can't exceed n_tokens/w) back onto the doc scan, and one Arrow
+    stage to cut tokens. Docs without removable spans take the join's
+    left-outer fast path."""
+    import pandas as pd
+
+    from .. import rules
+
+    sh = positioned_shingle_rows(df, text_col, key, w).withColumn(
+        "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    ).drop("s")
+
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    removable = (
+        sh.withColumn("_lo", F.min("id").over(wh))
+        .filter(F.col("id") != F.col("_lo"))  # cross-doc dup AND not the owner
+        .select("id", "pos")
+    )
+    spans = _spans_from_hits(removable, key, w)
+    per_doc = spans.groupBy(key).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.select(key, text_col).join(per_doc, key, "left")
+
+    out_schema = f"{key} long, text_stripped string, n_words long, n_removed long"
+
+    def cut(batches):
+        for pdf in batches:
+            out_rows = []
+            for t, sp in zip(pdf[text_col], pdf["_spans"]):
+                if t is None:
+                    out_rows.append((None, None, 0))
+                    continue
+                toks = rules.tokens(t)
+                n = len(toks)
+                if sp is None or len(sp) == 0:
+                    out_rows.append((" ".join(toks), n, 0))
+                    continue
+                drop = set()
+                for s in sp:  # 1-based inclusive token ranges
+                    drop.update(range(int(s["span_start"]) - 1, int(s["span_end"])))
+                kept = [tok for i, tok in enumerate(toks) if i not in drop]
+                out_rows.append((" ".join(kept), n, n - len(kept)))
+            o = pd.DataFrame(out_rows, columns=["text_stripped", "n_words", "n_removed"])
+            o["n_words"] = o["n_words"].astype("Int64")
+            o.insert(0, key, pdf[key].values)
+            yield o
+
+    return joined.mapInPandas(cut, schema=out_schema)

@@ -284,3 +284,20 @@ def test_domain_cap_keeps_group_limit_pushdown(spark):
     plan = _plan(ta.domain_cap(pages, cap=5))
     assert "WindowGroupLimit" in plan
     assert "SinglePartition" not in plan
+
+
+def test_strip_duplicate_spans_plan_shape(spark):
+    """The strip action reuses duplicate_spans' single-pass hashed h-window
+    for detection (8-byte keys, no detection join), adds ONE left join of
+    per-doc span lists back onto the scan, and cuts tokens in ONE Arrow
+    stage. Never SinglePartition, no interpreted lambdas, no nested-loop
+    joins."""
+    from curator_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.strip_duplicate_spans(docs, w=8))
+    assert "SinglePartition" not in plan
+    assert "lambdafunction" not in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(h" in plan
+    assert "MapInPandas" in plan
