@@ -1016,3 +1016,77 @@ def test_strip_duplicate_spans_corpus_invariants(spark):
             if owners[g] < d:
                 cover.update(range(i, i + 8))
         assert stripped[d].n_removed == len(cover), d
+
+
+def test_span_family_matches_python_model_on_random_corpora(spark):
+    """Randomized adversarial check of the whole span family: 12 seeded
+    corpora with TINY vocabularies (dense, overlapping, adjacent and
+    whole-doc duplication; docs of 0..24 tokens incl. blanks and len<w) are
+    batched into ONE DataFrame with per-corpus token prefixes (cross-corpus
+    duplication impossible), then duplicate_spans AND strip_duplicate_spans
+    run once and every doc is compared against a brute-force python model
+    of the contracts (owner sets, interval unions, island merging)."""
+    import random
+
+    W = 3
+    rng = random.Random(0x5EED)
+    rows, all_texts = [], {}
+    next_id = 0
+    for corpus in range(12):
+        vocab = [f"c{corpus}_t{j}" for j in range(rng.randint(3, 6))]
+        for _ in range(rng.randint(4, 20)):
+            n = rng.choice([0, 1, 2, W - 1, W] + [rng.randint(0, 24) for _ in range(4)])
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            rows.append((next_id, text))
+            all_texts[next_id] = text
+            next_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python model ---------------------------------------------------------
+    owners: dict[tuple, set] = {}
+    doc_grams: dict[int, list] = {}
+    for d, t in all_texts.items():
+        toks = t.split()
+        grams = [tuple(toks[i : i + W]) for i in range(len(toks) - W + 1)]
+        doc_grams[d] = grams
+        for g in grams:
+            owners.setdefault(g, set()).add(d)
+
+    def islands(hit_positions):  # 0-based starts -> [(start, end_incl, n_hits)]
+        out, cur = [], None
+        for p in hit_positions:
+            if cur is not None and p <= cur[1] + 1:  # pos <= prev end-exclusive
+                cur = (cur[0], max(cur[1], p + W - 1), cur[2] + 1)
+            else:
+                if cur:
+                    out.append(cur)
+                cur = (p, p + W - 1, 1)
+        if cur:
+            out.append(cur)
+        return out
+
+    want_spans, want_strip = set(), {}
+    for d, grams in doc_grams.items():
+        dup_pos = [i for i, g in enumerate(grams) if len(owners[g]) >= 2]
+        for a, b, c in islands(dup_pos):
+            want_spans.add((d, a + 1, b + 1, c))  # operator is 1-based
+        rm_pos = [i for i, g in enumerate(grams) if min(owners[g]) < d]
+        drop = set()
+        for i in rm_pos:
+            drop.update(range(i, i + W))
+        toks = all_texts[d].split()
+        kept = [t for i, t in enumerate(toks) if i not in drop]
+        want_strip[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_shingles)
+        for r in dedup.duplicate_spans(df, w=W).collect()
+    }
+    assert got_spans == want_spans
+    assert len(got_spans) > 20  # the corpora must actually exercise spans
+
+    got_strip = {
+        r.doc_id: (r.text_stripped, r.n_words, r.n_removed)
+        for r in dedup.strip_duplicate_spans(df, w=W).collect()
+    }
+    assert got_strip == want_strip
