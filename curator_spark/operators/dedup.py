@@ -1158,7 +1158,8 @@ def strip_duplicate_spans(
     )
     joined = df.select(key, text_col).join(per_doc, key, "left")
 
-    out_schema = f"{key} long, text_stripped string, n_words long, n_removed long"
+    key_type = df.schema[key].dataType.simpleString()  # key-generic (long doc_id, string url, ...)
+    out_schema = f"{key} {key_type}, text_stripped string, n_words long, n_removed long"
 
     def cut(batches):
         for pdf in batches:

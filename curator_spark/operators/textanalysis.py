@@ -334,8 +334,9 @@ def repetition_signals(
     the same economics as the flagship's fused-UDF stage."""
     import pandas as pd
 
+    key_type = df.schema[key].dataType.simpleString()  # key-generic (long doc_id, string url, ...)
     out_schema = (
-        f"{key} long, n_words long, top2_frac double, top3_frac double, dup_frac double"
+        f"{key} {key_type}, n_words long, top2_frac double, top3_frac double, dup_frac double"
     )
 
     def gen(batches):

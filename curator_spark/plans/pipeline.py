@@ -142,3 +142,63 @@ def export_corpus(
             writer.parquet(out_dir)
     finally:
         kept.unpersist()
+
+
+def curate_corpus(
+    pages: DataFrame,
+    repartition_to: int | None = None,
+    jaccard_threshold: float = 0.8,
+    span_w: int = 8,
+    domain_cap_n: int | None = None,
+    token_budget: int | None = None,
+    min_kept_words: int = 5,
+) -> DataFrame:
+    """The full training-data curation recipe over a pages table, as ONE
+    composed declarative plan — what a user of the reference would run
+    end-to-end (its per-stage analogs are documented on each operator):
+
+      1. quality filter (extract -> langid -> perplexity -> heuristics ->
+         scrub -> keep/drop), keep side only;
+      2. exact dedup + capped MinHash-LSH + Jaccard verify + connected
+         components -> one survivor per duplicate cluster
+         (``dedup.near_dup_survivors``);
+      3. substring-level keep-one span strip over the survivors
+         (``dedup.strip_duplicate_spans`` — cross-doc boilerplate runs are
+         cut everywhere but their min-key owner), then a
+         ``min_kept_words`` floor: a doc whose content was mostly someone
+         else's span collapses to a stub after the cut, and stubs are
+         exactly what the quality filter's length rule would have dropped
+         had they arrived that way;
+      4. optional per-domain cap (``textanalysis.domain_cap``);
+      5. optional token-budget pack, best-quality-first
+         (``textanalysis.token_budget_pack_bucketed``).
+
+    Output: (url, warc_ts, lang_pred, text) — ``text`` is the scrubbed,
+    span-stripped, whitespace-normalized token sequence. Every stage is
+    keyed on url and a pure function of row content, so the result is
+    deterministic under reshuffle/retry at any parallelism.
+    """
+    from ..operators import dedup
+    from ..operators import textanalysis as ta
+
+    kept = kept_pages(quality_filter(pages, repartition_to=repartition_to))
+    surv = dedup.near_dup_survivors(
+        kept, text_col="scrubbed_text", key="url", threshold=jaccard_threshold
+    )
+    corpus = kept.join(surv.select("url"), "url", "left_semi")
+    stripped = dedup.strip_duplicate_spans(
+        corpus, text_col="scrubbed_text", key="url", w=span_w
+    )
+    corpus = (
+        corpus.join(stripped, "url")
+        .filter(F.col("n_words") - F.col("n_removed") >= min_kept_words)
+        .select("url", "warc_ts", "lang_pred", F.col("text_stripped").alias("text"))
+    )
+    if domain_cap_n is not None:
+        corpus = ta.domain_cap(corpus, cap=domain_cap_n).drop("domain")
+    if token_budget is not None:
+        packed = ta.token_budget_pack_bucketed(
+            corpus, budget=token_budget, k=16, text_col="text", key="url"
+        )
+        corpus = corpus.join(packed.select("url"), "url", "left_semi")
+    return corpus

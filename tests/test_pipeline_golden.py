@@ -154,3 +154,43 @@ def test_export_corpus_roundtrip(spark, pages_df, golden, tmp_path):
     assert set(back["url"]) == set(gold["url"])
     merged = back.merge(gold[["url", "scrubbed_text"]], on="url", suffixes=("", "_g"))
     assert merged["scrubbed_text"].equals(merged["scrubbed_text_g"])
+
+
+def test_curate_corpus_recipe(spark, pages_df):
+    """The end-to-end curation recipe: filter -> near-dup survivors ->
+    span strip -> domain cap -> budget pack, composed on url keys.
+
+    Pins: row accounting matches the survivor contract stage by stage,
+    output texts are exactly-distinct, cross-doc duplicated spans are
+    gone except seam artifacts (measured as a hard bound), the domain cap
+    binds, and the whole recipe is deterministic under repartition."""
+    from curator_spark.operators import dedup
+    from curator_spark.operators import textanalysis as ta
+    from curator_spark.plans.pipeline import curate_corpus, kept_pages, quality_filter
+
+    kept = kept_pages(quality_filter(pages_df))
+    n_kept = kept.count()
+    surv = dedup.near_dup_survivors(kept, text_col="scrubbed_text", key="url", threshold=0.8)
+    out = curate_corpus(pages_df, jaccard_threshold=0.8)
+    rows = out.collect()
+    # <= survivors: the min_kept_words floor drops docs the span strip
+    # reduced to stubs (their content lives on in the owner doc)
+    assert len(rows) <= surv.count() < n_kept
+    assert len(rows) >= surv.count() * 0.9  # the floor trims stubs, not the corpus
+    assert set(out.columns) == {"url", "warc_ts", "lang_pred", "text"}
+    texts = [r.text for r in rows]
+    assert len(set(texts)) == len(texts)  # exact-distinct after dedup+strip
+    # substring dedup did its job: duplicated 8-token spans across docs are
+    # gone up to seam shingles created by interior cuts
+    residue = dedup.duplicate_spans(out, text_col="text", key="url", w=8).count()
+    before = dedup.duplicate_spans(kept, text_col="scrubbed_text", key="url", w=8).count()
+    assert before > 0 and residue <= before * 0.2, (residue, before)
+    # optional stages bind
+    capped = curate_corpus(pages_df, domain_cap_n=2)
+    per_dom = (
+        capped.groupBy(ta.url_domain(capped.url).alias("d")).count().collect()
+    )
+    assert per_dom and max(r["count"] for r in per_dom) <= 2
+    # determinism under repartition
+    again = {(r.url, r.text) for r in curate_corpus(pages_df.repartition(13)).collect()}
+    assert again == {(r.url, r.text) for r in rows}
