@@ -182,6 +182,14 @@ def curate_corpus(
     from ..operators import textanalysis as ta
 
     kept = kept_pages(quality_filter(pages, repartition_to=repartition_to))
+    # The kept intermediate feeds MANY downstream subtrees (exact-dedup agg,
+    # survivor semi-join, LSH candidates, Jaccard verify, the corpus join,
+    # the span strip) and each is a separate Spark job — without
+    # materialization the fused-UDF scoring stage re-executes per job (the
+    # same failure mode the connected_components edge checkpoint fixed;
+    # ReuseExchange never spans jobs). Persist the NARROW kept columns once;
+    # spill-safe, and ~50x smaller than the html input.
+    kept = kept.persist()
     surv = dedup.near_dup_survivors(
         kept, text_col="scrubbed_text", key="url", threshold=jaccard_threshold
     )
