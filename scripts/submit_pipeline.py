@@ -36,6 +36,15 @@ def main() -> None:
         action="store_true",
         help="stage the input partitioned by chunk so resumes scan only missing chunks",
     )
+    p.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the FULL curation recipe (filter -> near-dup survivors -> "
+        "span strip -> optional domain cap / token budget) and write the "
+        "curated corpus to --output instead of the lifecycle runner",
+    )
+    p.add_argument("--domain-cap", type=int, default=None)
+    p.add_argument("--token-budget", type=int, default=None)
     args = p.parse_args()
 
     from curator_spark.functions.partitioning import DEFAULT_SALT
@@ -43,6 +52,21 @@ def main() -> None:
     from curator_spark.session import get_spark
 
     spark = get_spark(app_name="curator-spark-pipeline", master=None)
+    if args.curate:
+        from curator_spark.plans.pipeline import curate_corpus
+
+        pages = spark.read.parquet(args.input)
+        out = curate_corpus(
+            pages,
+            repartition_to=args.repartition,
+            domain_cap_n=args.domain_cap,
+            token_budget=args.token_budget,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"curated_rows": spark.read.parquet(args.output).count()}))
+        spark.stop()
+        return
+
     cfg = R.RunConfig(
         input_path=args.input,
         output_root=args.output,
