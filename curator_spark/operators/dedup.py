@@ -63,23 +63,13 @@ def shingle_rows(df: DataFrame, text_col: str = "text", key: str = "doc_id", w: 
     shuffle), which costs an in-stage array copy per shingle but measured
     10x faster than the interpreted ``F.transform`` spec and adds no
     exchange; docs with < w words contribute no rows, exactly like the
-    spec's empty array."""
-    t = F.trim(F.col(text_col))
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
-    d = (
-        df.select(F.col(key).alias("id"), toks.alias("_toks"))
-        .filter(F.size("_toks") >= w)
-        .select(
-            "id",
-            "_toks",
-            F.explode(F.sequence(F.lit(1), F.size("_toks") - (w - 1))).alias("_i"),
-        )
-    )
-    return d.select(
-        "id", F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), w)).alias("s")
-    )
+    spec's empty array.
+
+    Implemented as the positioned form minus the index, so the ONE
+    tokenization expression the oracles mirror cannot drift between the
+    two (Catalyst prunes identically — pos is the explode output either
+    way)."""
+    return positioned_shingle_rows(df, text_col, key, w).select("id", "s")
 
 
 def positioned_shingle_rows(
@@ -109,6 +99,20 @@ def positioned_shingle_rows(
     )
     return d.select(
         "id", "pos", F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), w)).alias("s")
+    )
+
+
+def _hashed_positioned_shingles(
+    df: DataFrame, text_col: str, key: str, w: int
+) -> DataFrame:
+    """(id, pos, h) rows: positioned shingles keyed by the 60-bit
+    md5-prefix int — the ONE definition of the span-family shuffle key.
+    conv(substring(md5(s),1,15),16,10) == DuckDB's 0x-cast (cross-engine
+    equality pinned), so oracles group by the IDENTICAL value."""
+    return (
+        positioned_shingle_rows(df, text_col, key, w)
+        .withColumn("h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"))
+        .drop("s")
     )
 
 
@@ -180,9 +184,7 @@ def duplicate_spans(
     Collision contract: 60 bits over S distinct shingles ~ S^2/2^61 false
     merges (negligible below ~10^8 shingles; at 10^12-doc scale a rare
     false merge adds noise hits to a dedup HEURISTIC, never corrupts text)."""
-    sh = positioned_shingle_rows(df, text_col, key, w).withColumn(
-        "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-    ).drop("s")
+    sh = _hashed_positioned_shingles(df, text_col, key, w)
 
     from pyspark.sql import Window
 
@@ -1138,11 +1140,7 @@ def strip_duplicate_spans(
     left-outer fast path."""
     import pandas as pd
 
-    from .. import rules
-
-    sh = positioned_shingle_rows(df, text_col, key, w).withColumn(
-        "h", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-    ).drop("s")
+    sh = _hashed_positioned_shingles(df, text_col, key, w)
 
     from pyspark.sql import Window
 
@@ -1162,22 +1160,35 @@ def strip_duplicate_spans(
     out_schema = f"{key} {key_type}, text_stripped string, n_words long, n_removed long"
 
     def cut(batches):
+        # POSITION SPACE: spans were computed over the JVM shingle tokens
+        # (positioned_shingle_rows), so the cut MUST index the same token
+        # list — jvm_tokens, the exact python twin incl. phantom empty
+        # tokens at leading/trailing tabs/newlines. rules.tokens here would
+        # shift every index by the phantom count and cut wrong tokens
+        # (review-caught, pinned by test_strip_duplicate_spans_jvm_token_space).
+        from .textanalysis import jvm_tokens
+
         for pdf in batches:
             out_rows = []
             for t, sp in zip(pdf[text_col], pdf["_spans"]):
                 if t is None:
                     out_rows.append((None, None, 0))
                     continue
-                toks = rules.tokens(t)
+                toks = jvm_tokens(t)
                 n = len(toks)
                 if sp is None or len(sp) == 0:
-                    out_rows.append((" ".join(toks), n, 0))
-                    continue
-                drop = set()
-                for s in sp:  # 1-based inclusive token ranges
-                    drop.update(range(int(s["span_start"]) - 1, int(s["span_end"])))
-                kept = [tok for i, tok in enumerate(toks) if i not in drop]
-                out_rows.append((" ".join(kept), n, n - len(kept)))
+                    kept = toks
+                    n_removed = 0
+                else:
+                    drop = set()
+                    for s in sp:  # 1-based inclusive token ranges
+                        drop.update(range(int(s["span_start"]) - 1, int(s["span_end"])))
+                    kept = [tok for i, tok in enumerate(toks) if i not in drop]
+                    n_removed = n - len(kept)
+                # phantom '' tokens carry no content: drop them from the
+                # RENDERED text (single-spaced contract) without counting
+                # them as removed — n_words/n_removed stay in position space
+                out_rows.append((" ".join(tok for tok in kept if tok), n, n_removed))
             o = pd.DataFrame(out_rows, columns=["text_stripped", "n_words", "n_removed"])
             o["n_words"] = o["n_words"].astype("Int64")
             o.insert(0, key, pdf[key].values)

@@ -33,6 +33,30 @@ def words(text: Column) -> Column:
     )
 
 
+import re as _re
+
+_JVM_WS_RE = _re.compile(r"[ \t\n\r\x0b\f]+")
+
+
+def jvm_tokens(text: str) -> list[str]:
+    """EXACT python twin of ``words()`` / the shingle tokenizer — NOT of
+    ``rules.tokens``. The JVM form trims SPACES ONLY (Spark ``trim`` is
+    0x20-only) and splits with Java ``\\s+`` at limit -1, so text with
+    leading/trailing tabs/newlines yields phantom EMPTY tokens that
+    ``rules.tokens`` (python .strip(), all whitespace) does not produce:
+    ``"\\ta b"`` -> ``['', 'a', 'b']`` here vs ``['a', 'b']`` there. Every
+    DuckDB oracle mirrors the JVM form (``_SQL_TOKS``), so python stages
+    that must agree with shingle/gram POSITIONS or the oracles
+    (``repetition_signals``, ``strip_duplicate_spans``) must tokenize with
+    THIS function; the flagship pipeline keeps ``rules.tokens`` (pinned by
+    the hash book). Pinned equal to ``words()`` on adversarial corpora by
+    ``test_jvm_tokens_twin``."""
+    t = text.strip(" ")
+    if not t:
+        return []
+    return _JVM_WS_RE.split(t)
+
+
 def token_stats(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Token counting: whitespace words, BPE-ish regex tokens, chars/token.
 
@@ -277,30 +301,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
 def _repetition_row(text, dup_n: int):
     """Per-doc repetition signals — the python twin the Arrow-batched
     shipped form maps over each batch. Mirrors ``repetition_signals_sql``
-    bit-exactly: same integers into the same long/long divisions, same
-    interval-union coverage as the SQL gaps-and-islands merge, and the
-    corpus-pinned ``rules.tokens`` tokenizer (byte-equal to the Java/RE2
-    ``\\s+`` split the SQL twin and DuckDB oracle use)."""
+    bit-exactly: the ``jvm_tokens`` tokenizer (the JVM/oracle form WITH
+    phantom empty tokens at leading/trailing tabs/newlines — NOT
+    ``rules.tokens``), same integers into the same long/long divisions,
+    same interval-union coverage as the SQL gaps-and-islands merge.
+    top2/top3 are ALWAYS 2-/3-gram stats; only the coverage signal follows
+    ``dup_n`` (they were coupled once — caught by review, pinned since)."""
     from collections import Counter
-
-    from .. import rules
 
     if text is None:
         return None, 0.0, 0.0, 0.0  # SQL twin: n_words NULL, fracs 0.0
-    toks = rules.tokens(text)
+    toks = jvm_tokens(text)
     n = len(toks)
     if n < 2:
         return n, 0.0, 0.0, 0.0
     c2 = Counter(zip(toks, toks[1:]))
     top2 = max(c2.values()) / (n - 1)
-    top3, covered = 0.0, 0
+    top3 = 0.0
+    if n >= 3:
+        c3 = Counter(zip(toks, toks[1:], toks[2:]))
+        top3 = max(c3.values()) / (n - 2)
+    covered = 0
     if n >= dup_n:
         grams = list(zip(*(toks[i:] for i in range(dup_n))))
-        c3 = Counter(grams)
-        top3 = max(c3.values()) / (n - dup_n + 1)
+        cd = Counter(grams)
         end = -1  # exclusive end of current coverage (0-based token index)
         for p, g in enumerate(grams):
-            if c3[g] >= 2:
+            if cd[g] >= 2:
                 if p + dup_n > end:
                     covered += p + dup_n - max(p, end)
                     end = p + dup_n
@@ -404,23 +431,13 @@ def repetition_signals_sql(
     )
     hits = sh.join(dup, ["id", "s"]).select("id", "pos")
 
-    from pyspark.sql import Window
+    # the one shared islands-merge contract (review: an inline copy here
+    # could drift from duplicate_spans' merge independently)
+    from .dedup import _spans_from_hits
 
-    wo = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + dup_n).over(
-        wo.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    brk = F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)).otherwise(
-        F.lit(0)
-    )
-    islands = hits.withColumn("_brk", brk).withColumn(
-        "_island", F.sum("_brk").over(wo.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    spans = islands.groupBy("id", "_island").agg(
-        F.min("pos").alias("_a"), (F.max("pos") + (dup_n - 1)).alias("_b")
-    )
+    spans = _spans_from_hits(hits, "id", dup_n)
     cov = spans.groupBy("id").agg(
-        F.sum(F.col("_b") - F.col("_a") + 1).cast("long").alias("_covered")
+        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("long").alias("_covered")
     )
 
     out = (
@@ -445,10 +462,18 @@ def repetition_signals_sql(
 
 
 def url_domain(url: Column) -> Column:
-    """Registrable-host extraction from a url — the grouping key for
-    domain-level corpus controls. Pure Java/RE2-subset regex (no
-    lookaround), NULL-safe: non-matching / null urls yield NULL."""
-    d = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    """Normalized HOST extraction from a url — the grouping key for
+    domain-level corpus controls. Lowercased, with userinfo (``user@``)
+    and port (``:8080``) stripped so cosmetic authority variants of one
+    host can't multiply a quota (review-caught: they used to form separate
+    groups). Subdomains are kept: true registrable-domain (eTLD+1)
+    grouping needs a public-suffix list — plug one in here at production.
+    Host-level grouping still admits up to cap rows PER SUBDOMAIN, so a
+    farm spreading one corpus across wildcard subdomains needs the eTLD+1
+    upgrade — stated honestly rather than pretended away. Pure
+    Java/RE2-subset regex (no lookaround), NULL-safe: non-matching / null
+    urls yield NULL."""
+    d = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
     return F.when(d == "", F.lit(None).cast("string")).otherwise(F.lower(d))
 
 

@@ -177,6 +177,13 @@ def curate_corpus(
     span-stripped, whitespace-normalized token sequence. Every stage is
     keyed on url and a pure function of row content, so the result is
     deterministic under reshuffle/retry at any parallelism.
+
+    Caching contract: the kept intermediate stays persisted for the
+    session (it is referenced by the lazy plan this function returns, so
+    it cannot be unpersisted here without re-executing the UDF stage per
+    downstream job). Callers running MANY recipes in one long-lived
+    driver should ``spark.catalog.clearCache()`` between them; Spark's
+    MEMORY_AND_DISK eviction bounds the damage if they don't.
     """
     from ..operators import dedup
     from ..operators import textanalysis as ta

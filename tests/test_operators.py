@@ -953,11 +953,18 @@ def test_url_domain_edges(spark):
     from curator_spark.operators import textanalysis as ta
 
     df = spark.createDataFrame(
-        [("https://A.B.c/x?q=1",), ("ftp://h0st:8080/f",), ("//nope",), ("",), (None,)],
+        [
+            ("https://A.B.c/x?q=1",),
+            ("ftp://h0st:8080/f",),       # port stripped (review: it split quota groups)
+            ("https://user@h.example.org/p",),  # userinfo stripped
+            ("//nope",),
+            ("",),
+            (None,),
+        ],
         "url string",
     )
     got = [r.d for r in df.select(ta.url_domain(F.col("url")).alias("d")).collect()]
-    assert got == ["a.b.c", "h0st:8080", None, None, None]
+    assert got == ["a.b.c", "h0st", "h.example.org", None, None, None]
 
 
 def test_strip_duplicate_spans_hand_fixture(spark):
@@ -1090,3 +1097,72 @@ def test_span_family_matches_python_model_on_random_corpora(spark):
         for r in dedup.strip_duplicate_spans(df, w=W).collect()
     }
     assert got_strip == want_strip
+
+
+# Review-caught regressions (round 4): the JVM tokenizer keeps phantom
+# empty tokens at leading/trailing non-space whitespace (Spark trim is
+# 0x20-only, split limit=-1), and every python twin must mirror THAT, not
+# rules.tokens. These pin the repro cases from the review.
+
+
+def test_jvm_tokens_twin(spark):
+    """jvm_tokens must equal words() (the JVM/oracle tokenizer) exactly on
+    adversarial input — leading/trailing tabs/newlines/vertical-tabs,
+    separator-only strings, unicode whitespace that Java \\s does NOT
+    split on."""
+    from curator_spark.operators import textanalysis as ta
+
+    cases = ["", " ", "\t", "\n\n", "a b", "\ta b", "a b\n", " a\tb\x0bc ",
+             "\r\na  b\f", "x", " x ", " nbsp stays", "a b",
+             "one\ttwo\nthree\x0cfour", "\t\n x \n\t"]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    jvm = [r.w for r in df.select(ta.words(F.col("text")).alias("w")).collect()]
+    for t, w in zip(cases, jvm):
+        assert ta.jvm_tokens(t) == list(w), repr(t)
+
+
+def test_strip_duplicate_spans_jvm_token_space(spark):
+    """Review repro: a doc whose text starts with a newline has a phantom
+    empty token at JVM position 1, so the duplicated run sits at positions
+    2..11 — the cut must happen in THAT coordinate space. The old
+    rules.tokens cut removed the wrong tokens and left 's0' behind."""
+    S = " ".join(f"s{i}" for i in range(10))
+    rows = [(0, S), (1, "\n" + S)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.strip_duplicate_spans(df, w=8).collect()}
+    assert got[0].text_stripped == S and got[0].n_removed == 0  # owner keeps
+    assert got[1].text_stripped == "" and got[1].n_removed == 10
+    assert got[1].n_words == 11  # phantom counted in position space
+
+
+def test_repetition_signals_phantom_tokens_match_twin(spark):
+    """Review repro: '\\ta b a b c' has 6 JVM tokens (phantom first); the
+    shipped Arrow form must agree with the SQL twin / oracle on it."""
+    from curator_spark.operators import textanalysis as ta
+
+    rows = [(0, "\ta b a b c"), (1, "a b\n"), (2, "\n\nx y x y\t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in ta.repetition_signals(df, dup_n=3).collect()}
+    b = {tuple(r) for r in ta.repetition_signals_sql(df, dup_n=3).collect()}
+    assert a == b
+    r0 = {r[0]: r for r in a}[0]
+    assert r0[1] == 6 and r0[2] == 2 / 5 and r0[3] == 1 / 4
+
+
+def test_repetition_signals_top3_independent_of_dup_n(spark):
+    """Review repro: top3_frac is a 3-gram stat for EVERY dup_n — it was
+    once computed over dup_n-grams (0.25 instead of 0.2 at dup_n=5)."""
+    from curator_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame([(0, "a b c d e f a b c d e f")], "doc_id long, text string")
+    for dup_n in (3, 5):
+        got = {tuple(r) for r in ta.repetition_signals(df, dup_n=dup_n).collect()}
+        want = {tuple(r) for r in ta.repetition_signals_sql(df, dup_n=dup_n).collect()}
+        assert got == want, dup_n
+    r5 = ta.repetition_signals(df, dup_n=5).collect()[0]
+    assert r5.top3_frac == 2 / 10  # ('a b c') and peers repeat twice in 10 3-grams
+    # and docs shorter than dup_n still get their real top3
+    short = spark.createDataFrame([(0, "p q p q")], "doc_id long, text string")
+    s5 = ta.repetition_signals(short, dup_n=5).collect()[0]
+    t5 = ta.repetition_signals_sql(short, dup_n=5).collect()[0]
+    assert (s5.top3_frac, s5.dup_frac) == (t5.top3_frac, t5.dup_frac) == (1 / 2, 0.0)

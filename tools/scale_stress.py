@@ -99,10 +99,15 @@ def run_dedup_family(spark, sf_dir: str, tag: str) -> dict:
         # count(), which hid 98% of repetition_signals' first-cut cost
         # (count 2.6 s vs real 193 s at 1.2M docs).
         t0 = time.monotonic()
-        df = q.Q[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        walls[name] = round(time.monotonic() - t0, 2)
-        rows[name] = df.count()
+        df = q.Q[name](spark, sf_dir).persist()
+        try:
+            df.write.format("noop").mode("overwrite").save()
+            walls[name] = round(time.monotonic() - t0, 2)
+            # count from the persisted result — an unpersisted count() here
+            # would re-execute the whole plan, doubling the harness wall
+            rows[name] = df.count()
+        finally:
+            df.unpersist()
     rec = {"stress": f"dedup_{tag}", "cpus": CPUS, "walls_sec": walls, "rows": rows}
     print(json.dumps(rec), flush=True)
     return rec
