@@ -1115,6 +1115,9 @@ def test_jvm_tokens_twin(spark):
     cases = ["", " ", "\t", "\n\n", "a b", "\ta b", "a b\n", " a\tb\x0bc ",
              "\r\na  b\f", "x", " x ", " nbsp stays", "a b",
              "one\ttwo\nthree\x0cfour", "\t\n x \n\t"]
+    # plus the full adversarial corpus (unicode whitespace, zero-width,
+    # combining marks, separator-led/trailed strings)
+    cases += [t for _, t in _adversarial_corpus() if t is not None]
     df = spark.createDataFrame([(t,) for t in cases], "text string")
     jvm = [r.w for r in df.select(ta.words(F.col("text")).alias("w")).collect()]
     for t, w in zip(cases, jvm):
@@ -1166,3 +1169,17 @@ def test_repetition_signals_top3_independent_of_dup_n(spark):
     s5 = ta.repetition_signals(short, dup_n=5).collect()[0]
     t5 = ta.repetition_signals_sql(short, dup_n=5).collect()[0]
     assert (s5.top3_frac, s5.dup_frac) == (t5.top3_frac, t5.dup_frac) == (1 / 2, 0.0)
+
+
+def test_duplicate_spans_mega_shingle_skew(spark):
+    """Boilerplate skew: ONE shingle shared by every doc puts all its hit
+    rows in a single h-window partition group — the sort-based window must
+    complete (spill path, never an OOM-prone list buffer) and every doc
+    must report the span."""
+    boiler = " ".join(f"b{i}" for i in range(8))
+    n = 5000
+    rows = [(i, f"u{i}a u{i}b " + boiler + f" u{i}c") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.duplicate_spans(df, w=8).collect()
+    assert len(got) == n
+    assert all((r.span_start, r.span_end, r.n_dup_shingles) == (3, 10, 1) for r in got)
