@@ -39,10 +39,9 @@ def word_shingles(text: Column, w: int = 3) -> Column:
     ``shingle_rows`` (codegen explode(sequence) + slice + concat_ws, pinned
     multiset-identical by ``test_shingle_rows_equals_spec``); this array
     form remains the readable semantic definition."""
-    t = F.trim(text)
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    from .textanalysis import words
+
+    toks = words(text)
     n = F.size(toks)
     return F.when(n < w, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -83,11 +82,12 @@ def positioned_shingle_rows(
     explode(sequence) start indices, ``slice`` + ``concat_ws``, no
     interpreted lambda; docs with < w tokens contribute no rows. (id, pos)
     is unique per input row, so every downstream window ordered by pos is
-    deterministic."""
-    t = F.trim(F.col(text_col))
-    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    deterministic. Tokenizer = ``textanalysis.words`` — the ONE JVM
+    definition (python twin: ``jvm_tokens``), so the pinned twin test
+    covers the span family's position space."""
+    from .textanalysis import words
+
+    toks = words(F.col(text_col))
     d = (
         df.select(F.col(key).alias("id"), toks.alias("_toks"))
         .filter(F.size("_toks") >= w)
@@ -1124,7 +1124,8 @@ def strip_duplicate_spans(
     Removable hits merge into maximal spans per doc (same gaps-and-islands
     contract as ``duplicate_spans``), and those token ranges are cut.
 
-    Output (key, text_stripped, n_words, n_removed): ``text_stripped`` is
+    Output (key, text_stripped, n_words, n_removed, n_kept_words):
+    ``text_stripped`` is
     the WHITESPACE-NORMALIZED token sequence minus removed spans, joined by
     single spaces (the standard token-level dedup contract — original
     inter-token whitespace is not preserved); docs with nothing to remove
@@ -1157,7 +1158,10 @@ def strip_duplicate_spans(
     joined = df.select(key, text_col).join(per_doc, key, "left")
 
     key_type = df.schema[key].dataType.simpleString()  # key-generic (long doc_id, string url, ...)
-    out_schema = f"{key} {key_type}, text_stripped string, n_words long, n_removed long"
+    out_schema = (
+        f"{key} {key_type}, text_stripped string, n_words long, n_removed long, "
+        "n_kept_words long"
+    )
 
     def cut(batches):
         # POSITION SPACE: spans were computed over the JVM shingle tokens
@@ -1172,7 +1176,7 @@ def strip_duplicate_spans(
             out_rows = []
             for t, sp in zip(pdf[text_col], pdf["_spans"]):
                 if t is None:
-                    out_rows.append((None, None, 0))
+                    out_rows.append((None, None, 0, None))
                     continue
                 toks = jvm_tokens(t)
                 n = len(toks)
@@ -1187,10 +1191,17 @@ def strip_duplicate_spans(
                     n_removed = n - len(kept)
                 # phantom '' tokens carry no content: drop them from the
                 # RENDERED text (single-spaced contract) without counting
-                # them as removed — n_words/n_removed stay in position space
-                out_rows.append((" ".join(tok for tok in kept if tok), n, n_removed))
-            o = pd.DataFrame(out_rows, columns=["text_stripped", "n_words", "n_removed"])
+                # them as removed — n_words/n_removed stay in position space,
+                # while n_kept_words counts REAL rendered words (what a
+                # min-length floor downstream should filter on)
+                real_kept = [tok for tok in kept if tok]
+                out_rows.append((" ".join(real_kept), n, n_removed, len(real_kept)))
+            o = pd.DataFrame(
+                out_rows,
+                columns=["text_stripped", "n_words", "n_removed", "n_kept_words"],
+            )
             o["n_words"] = o["n_words"].astype("Int64")
+            o["n_kept_words"] = o["n_kept_words"].astype("Int64")
             o.insert(0, key, pdf[key].values)
             yield o
 

@@ -28,7 +28,9 @@ _EN_STOPWORDS = sorted(rules.LANG_LEXICONS["en"])
 
 
 def words_col(text: Column) -> Column:
-    """Whitespace tokens of the trimmed text; [] for blank (== rules.tokens)."""
+    """Whitespace tokens of the trimmed text; [] for blank. NOT exactly
+    rules.tokens — see the leading-whitespace edge documented on
+    heuristics_stage below and textanalysis.jvm_tokens."""
     trimmed = F.trim(text)
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, rf"[{_WS_CLASS}]+")

@@ -26,7 +26,10 @@ BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokens of trimmed text; [] for blank (== rules.tokens)."""
+    """Whitespace tokens of trimmed text; [] for blank. NOT rules.tokens:
+    Spark trim is 0x20-only and split keeps leading/trailing empties, so
+    "\\ta b" -> ['', 'a', 'b'] here vs ['a', 'b'] there — see jvm_tokens
+    (the pinned python twin of THIS form) and the CLAUDE.md invariant."""
     t = F.trim(text)
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
@@ -473,7 +476,12 @@ def url_domain(url: Column) -> Column:
     upgrade — stated honestly rather than pretended away. Pure
     Java/RE2-subset regex (no lookaround), NULL-safe: non-matching / null
     urls yield NULL."""
-    d = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    # greedy [^/?#]*@ consumes through the LAST @ in the authority (the
+    # host per WHATWG); bracketed IPv6 literals keep their colons, bare
+    # hosts stop at the port colon
+    d = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/?#:@]+)", 1
+    )
     return F.when(d == "", F.lit(None).cast("string")).otherwise(F.lower(d))
 
 

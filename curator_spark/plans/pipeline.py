@@ -206,7 +206,10 @@ def curate_corpus(
     )
     corpus = (
         corpus.join(stripped, "url")
-        .filter(F.col("n_words") - F.col("n_removed") >= min_kept_words)
+        # n_kept_words counts REAL rendered words — n_words - n_removed
+        # would count phantom empty tokens (leading/trailing tab/newline)
+        # toward the floor (review-caught)
+        .filter(F.col("n_kept_words") >= min_kept_words)
         .select("url", "warc_ts", "lang_pred", F.col("text_stripped").alias("text"))
     )
     if domain_cap_n is not None:

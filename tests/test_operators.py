@@ -965,6 +965,14 @@ def test_url_domain_edges(spark):
     )
     got = [r.d for r in df.select(ta.url_domain(F.col("url")).alias("d")).collect()]
     assert got == ["a.b.c", "h0st", "h.example.org", None, None, None]
+    # IPv6 literals keep their colons (distinct hosts stay distinct groups)
+    # and multi-@ authorities resolve to the post-LAST-@ host (WHATWG)
+    df6 = spark.createDataFrame(
+        [("https://[2001:db8::1]/x",), ("https://[2001:db8::2]/x",), ("https://a@b@c/x",)],
+        "url string",
+    )
+    got6 = [r.d for r in df6.select(ta.url_domain(F.col("url")).alias("d")).collect()]
+    assert got6 == ["[2001:db8::1]", "[2001:db8::2]", "c"]
 
 
 def test_strip_duplicate_spans_hand_fixture(spark):
@@ -1006,13 +1014,13 @@ def test_strip_duplicate_spans_corpus_invariants(spark):
     # independent recompute of removable coverage in python
     from collections import defaultdict
 
-    from curator_spark import rules
+    from curator_spark.operators.textanalysis import jvm_tokens
 
     texts = {r.doc_id: r.text for r in docs.collect()}
     owners: dict[tuple, int] = {}
     positions = defaultdict(list)
     for d, t in texts.items():
-        toks = rules.tokens(t)
+        toks = jvm_tokens(t)  # the operator's position space, NOT rules.tokens
         for i in range(len(toks) - 7):
             g = tuple(toks[i : i + 8])
             owners[g] = min(owners.get(g, d), d)
@@ -1136,6 +1144,8 @@ def test_strip_duplicate_spans_jvm_token_space(spark):
     assert got[0].text_stripped == S and got[0].n_removed == 0  # owner keeps
     assert got[1].text_stripped == "" and got[1].n_removed == 10
     assert got[1].n_words == 11  # phantom counted in position space
+    assert got[1].n_kept_words == 0 and got[0].n_kept_words == 10
+    # n_kept_words counts RENDERED words — the phantom never inflates it
 
 
 def test_repetition_signals_phantom_tokens_match_twin(spark):

@@ -99,15 +99,14 @@ def run_dedup_family(spark, sf_dir: str, tag: str) -> dict:
         # count(), which hid 98% of repetition_signals' first-cut cost
         # (count 2.6 s vs real 193 s at 1.2M docs).
         t0 = time.monotonic()
-        df = q.Q[name](spark, sf_dir).persist()
-        try:
-            df.write.format("noop").mode("overwrite").save()
-            walls[name] = round(time.monotonic() - t0, 2)
-            # count from the persisted result — an unpersisted count() here
-            # would re-execute the whole plan, doubling the harness wall
-            rows[name] = df.count()
-        finally:
-            df.unpersist()
+        df = q.Q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        walls[name] = round(time.monotonic() - t0, 2)
+        # rows counted OUTSIDE the timed window by re-execution: persisting
+        # inside the window would fold cache-store cost into the walls and
+        # break comparability with earlier recorded numbers; the re-run
+        # only costs untimed harness time
+        rows[name] = df.count()
     rec = {"stress": f"dedup_{tag}", "cpus": CPUS, "walls_sec": walls, "rows": rows}
     print(json.dumps(rec), flush=True)
     return rec
