@@ -469,13 +469,14 @@ def url_domain(url: Column) -> Column:
     domain-level corpus controls. Lowercased, with userinfo (``user@``)
     and port (``:8080``) stripped so cosmetic authority variants of one
     host can't multiply a quota (review-caught: they used to form separate
-    groups). Subdomains are kept: true registrable-domain (eTLD+1)
-    grouping needs a public-suffix list — plug one in here at production.
-    Host-level grouping still admits up to cap rows PER SUBDOMAIN, so a
-    farm spreading one corpus across wildcard subdomains needs the eTLD+1
-    upgrade — stated honestly rather than pretended away. Pure
-    Java/RE2-subset regex (no lookaround), NULL-safe: non-matching / null
-    urls yield NULL."""
+    groups). Subdomains are kept: host-level grouping admits up to cap
+    rows PER SUBDOMAIN, so a farm spreading one corpus across wildcard
+    subdomains needs registrable-domain (eTLD+1) grouping — that upgrade
+    lives in ``functions.public_suffix.registrable_domain`` (PSL
+    longest-match / wildcard / exception algorithm over a pluggable
+    snapshot) and is selected with ``domain_cap(..., grouping="etld1")``.
+    Pure Java/RE2-subset regex (no lookaround), NULL-safe: non-matching /
+    null urls yield NULL."""
     # greedy [^/?#]*@ consumes through the LAST @ in the authority (the
     # host per WHATWG); bracketed IPv6 literals keep their colons, bare
     # hosts stop at the port colon
@@ -486,10 +487,20 @@ def url_domain(url: Column) -> Column:
 
 
 def domain_cap(
-    df: DataFrame, cap: int, url_col: str = "url", order_col: str | None = None
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    order_col: str | None = None,
+    grouping: str = "host",
 ) -> DataFrame:
     """Per-domain quota (the C4/RefinedWeb anti-domination step): keep at
-    most ``cap`` pages per registrable host, deterministically.
+    most ``cap`` pages per domain, deterministically.
+
+    ``grouping="host"`` (default) keys on the normalized host;
+    ``grouping="etld1"`` keys on the registrable domain (public suffix +
+    one label, ``functions.public_suffix``) so subdomain farms share one
+    quota — still a pure-codegen key (literal InSet lookups, no join), so
+    the WindowGroupLimit scale shape below is identical.
 
     Preference order within a domain: ``order_col`` descending when given
     (e.g. a quality score), content-hash order otherwise (md5(url) — the
@@ -505,7 +516,14 @@ def domain_cap(
     treat NULL as one key), never a crash."""
     from pyspark.sql import Window
 
-    d = df.withColumn("_domain", url_domain(F.col(url_col)))
+    if grouping not in ("host", "etld1"):
+        raise ValueError(f"grouping must be 'host' or 'etld1', got {grouping!r}")
+    key = url_domain(F.col(url_col))
+    if grouping == "etld1":
+        from ..functions.public_suffix import registrable_domain
+
+        key = registrable_domain(key)
+    d = df.withColumn("_domain", key)
     if order_col is not None:
         order = [F.col(order_col).desc(), F.col(url_col).asc()]
     else:
