@@ -464,6 +464,13 @@ def repetition_signals_sql(
     return out
 
 
+# The ONE host-extraction regex (url_domain + the DuckDB oracle mirror both
+# splice it; Java∩RE2 subset, no lookaround). Greedy [^/?#]*@ consumes
+# through the LAST @ in the authority (the host per WHATWG); bracketed IPv6
+# literals keep their colons, bare hosts stop at the port colon.
+URL_HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/?#:@]+)"
+
+
 def url_domain(url: Column) -> Column:
     """Normalized HOST extraction from a url — the grouping key for
     domain-level corpus controls. Lowercased, with userinfo (``user@``)
@@ -477,12 +484,7 @@ def url_domain(url: Column) -> Column:
     snapshot) and is selected with ``domain_cap(..., grouping="etld1")``.
     Pure Java/RE2-subset regex (no lookaround), NULL-safe: non-matching /
     null urls yield NULL."""
-    # greedy [^/?#]*@ consumes through the LAST @ in the authority (the
-    # host per WHATWG); bracketed IPv6 literals keep their colons, bare
-    # hosts stop at the port colon
-    d = F.regexp_extract(
-        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?(\[[^\]/?#]*\]|[^/?#:@]+)", 1
-    )
+    d = F.regexp_extract(url, URL_HOST_PATTERN, 1)
     return F.when(d == "", F.lit(None).cast("string")).otherwise(F.lower(d))
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import rules
+from .functions import public_suffix
 from .operators import dedup, similarity, textanalysis
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -879,27 +880,6 @@ def q_window_topk_orders(spark, sf_dir):
 
 
 @_register(
-    "orders_by_month",
-    """
-    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-           CAST(month(o_orderdate) AS INTEGER) AS mon,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-    FROM orders GROUP BY 1, 2
-    """,
-)
-def q_orders_by_month(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.year("o_orderdate").cast("int").alias("yr"),
-        F.month("o_orderdate").cast("int").alias("mon"),
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
-    )
-
-
-@_register(
     "events_type_month",
     """
     SELECT event_type,
@@ -1071,6 +1051,83 @@ def q_token_budget_pack_bucketed(spark, sf_dir):
     window sums per bucket)."""
     return textanalysis.token_budget_pack_bucketed(
         _t(spark, sf_dir, "documents"), budget=20000, k=4
+    )
+
+
+def _domain_cap_sql(cap: int) -> str:
+    """Oracle for the domain_cap entry: the synthesized-url CASE, the ONE
+    host regex (textanalysis.URL_HOST_PATTERN), the PSL registrable-domain
+    mirror (public_suffix.psl_sql_select — generated from the same parsed
+    snapshot the Column form uses), and the deterministic rank filter."""
+    u = "CAST(doc_id AS VARCHAR)"
+    url_case = (
+        "CASE WHEN doc_id % 97 = 0 THEN NULL "
+        f"WHEN doc_id % 8 = 0 THEN 'https://www.' || source || '.com/p/' || {u} "
+        f"WHEN doc_id % 8 = 1 THEN 'https://' || source || '.com/p/' || {u} "
+        f"WHEN doc_id % 8 = 2 THEN 'https://blog.' || source || '.co.uk/p/' || {u} "
+        f"WHEN doc_id % 8 = 3 THEN 'https://user@' || source || '.org:8080/p/' || {u} "
+        f"WHEN doc_id % 8 = 4 THEN 'https://a' || CAST(doc_id % 5 AS VARCHAR) || '.' "
+        f"|| source || '.bd/p/' || {u} "
+        f"WHEN doc_id % 8 = 5 THEN 'https://x' || CAST(doc_id % 7 AS VARCHAR) "
+        f"|| '.www.ck/p/' || {u} "
+        f"WHEN doc_id % 8 = 6 THEN 'https://10.' || CAST(doc_id % 3 AS VARCHAR) "
+        f"|| '.0.1/p/' || {u} "
+        f"ELSE 'https://[2001:db8::' || CAST(doc_id % 3 AS VARCHAR) || ']/p/' || {u} END"
+    )
+    pat = textanalysis.URL_HOST_PATTERN
+    host = f"regexp_extract(url, '{pat}', 1)"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {url_case} AS url FROM documents
+    ), hosts AS (
+      SELECT doc_id, url,
+             CASE WHEN {host} = '' THEN NULL
+                  ELSE nullif(trim(lower({host}), '.'), '') END AS hn
+      FROM base
+    ), dom AS (
+      SELECT doc_id, url, {public_suffix.psl_sql_select("hn", "domain")} FROM hosts
+    ), rk AS (
+      SELECT doc_id, url, domain,
+             row_number() OVER (PARTITION BY domain ORDER BY md5(url), url) AS rk
+      FROM dom
+    )
+    SELECT doc_id, url, domain FROM rk WHERE rk <= {cap}
+    """
+
+
+@_register("domain_cap", _domain_cap_sql(10))
+def q_domain_cap(spark, sf_dir):
+    """Per-domain quota with registrable-domain (eTLD+1) grouping — the
+    C4/RefinedWeb anti-domination step. Urls are synthesized
+    deterministically from doc_id/source to light every path: www-subdomain
+    merging, co.uk exact rules, userinfo+port stripping, *.bd wildcard
+    suffixes, the !www.ck exception as a hot capped domain, IPv4/bracketed
+    IPv6 identity groups, and a NULL-url group smaller than the cap (its
+    internal order is all-ties, so only "kept entirely" is deterministic).
+    Scale shape: rank-filter riding WindowGroupLimit pushdown — a
+    mega-domain ships ~cap rows per map task, never one giant window sort
+    (plan-pinned in tests/test_public_suffix.py)."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    m = did % 8
+
+    def a(*cols):
+        return F.concat(*[F.lit(c) if isinstance(c, str) else c for c in cols])
+
+    url = (
+        F.when(did % 97 == 0, F.lit(None).cast("string"))
+        .when(m == 0, a("https://www.", F.col("source"), ".com/p/", s))
+        .when(m == 1, a("https://", F.col("source"), ".com/p/", s))
+        .when(m == 2, a("https://blog.", F.col("source"), ".co.uk/p/", s))
+        .when(m == 3, a("https://user@", F.col("source"), ".org:8080/p/", s))
+        .when(m == 4, a("https://a", (did % 5).cast("string"), ".", F.col("source"), ".bd/p/", s))
+        .when(m == 5, a("https://x", (did % 7).cast("string"), ".www.ck/p/", s))
+        .when(m == 6, a("https://10.", (did % 3).cast("string"), ".0.1/p/", s))
+        .otherwise(a("https://[2001:db8::", (did % 3).cast("string"), "]/p/", s))
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return textanalysis.domain_cap(d, cap=10, grouping="etld1").select(
+        "doc_id", "url", "domain"
     )
 
 

@@ -85,7 +85,7 @@ def test_timestamp_queries_are_timezone_invariant(spark):
 
     from curator_spark import queries as q
 
-    NAMES = ("q1_pricing_summary", "q3_top_revenue_orders", "orders_by_month",
+    NAMES = ("q1_pricing_summary", "q3_top_revenue_orders",
              "events_type_month", "anti_join_resume")
 
     def digest():
