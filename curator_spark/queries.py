@@ -931,13 +931,14 @@ def q_quantiles_distinct(spark, sf_dir):
     return p.join(c, "o_orderpriority")
 
 
-@_register("sketch_quantiles_hll")  # engine-specific sketches -> rows-only
 def q_sketch_quantiles_hll(spark, sf_dir):
     """The 100 TB scale path for quantiles_distinct: mergeable sketches
     (GK approx percentile, HyperLogLog++) — constant memory per partition,
-    one tiny row per group through the shuffle. Approximation differs per
-    engine, so the driver records rows-only; the exact twin above is the
-    oracle-checked contract."""
+    one tiny row per group through the shuffle. UNREGISTERED since r5 (its
+    slot funds the curate_corpus flagship entry under the 50-entry driver
+    cap): approximation differs per engine so it was rows-only anyway;
+    tests/test_entry_contract.py now pins it against the exact oracle twin
+    above within sketch tolerance."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
@@ -1709,6 +1710,23 @@ def q_pipeline_verdicts(spark, sf_dir):
         "keep",
         F.concat_ws(",", "drop_rules").alias("drop_rules_csv"),
     )
+
+
+@_register("curate_corpus")
+def q_curate_corpus(spark, sf_dir):
+    """The full end-to-end curation recipe as ONE composed plan: quality
+    filter -> exact + near-dup survivors -> keep-one span strip with the
+    stub floor -> per-domain cap -> token-budget pack. Rows-only here (the
+    scoring stages are pandas-UDF models); stage-by-stage row accounting,
+    determinism under repartition, and the x24==x240 survivor-set identity
+    live in pytest + tools/scale_stress.py. Every stage is a pure function
+    of row content, so the output set is reshuffle/retry-stable."""
+    from .plans.pipeline import curate_corpus
+    from .sources.tables import load_pages
+
+    pages = load_pages(spark, sf_dir)
+    out = curate_corpus(pages, domain_cap_n=50, token_budget=200_000)
+    return out.select("url", "lang_pred", "text")
 
 
 # ---------------------------------------------------------------------------

@@ -32,3 +32,36 @@ def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert "url" in df.columns and "keep" in df.columns
+
+
+def test_sketch_quantiles_tracks_exact_twin(spark):
+    """q_sketch_quantiles_hll left the registry in r5 (slot funds
+    curate_corpus) — this pins the sketch path against its exact oracle
+    twin so the capability stays verified: GK percentile within 2% of the
+    exact p50, HLL distinct count within 5% (rsd=0.01 gives ~1%)."""
+    from curator_spark import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.o_orderpriority: r for r in q.Q["quantiles_distinct"](spark, sf).collect()}
+    approx = {
+        r.o_orderpriority: r
+        for r in q.q_sketch_quantiles_hll(spark, sf).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 0
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(a.p50_approx - e.p50) <= 0.02 * abs(e.p50), k
+        assert abs(a.n_cust_approx - e.n_cust) <= 0.05 * e.n_cust, k
+
+
+def test_curate_corpus_entry_runs(spark):
+    """The flagship recipe's registry entry: non-empty, stable schema, and
+    deterministic output set at sf0.001."""
+    from curator_spark import queries as q
+
+    a = q.Q["curate_corpus"](spark, "/root/testdata/sf0.001")
+    assert a.columns == ["url", "lang_pred", "text"]
+    rows = {r.url for r in a.collect()}
+    assert len(rows) > 0
+    b = {r.url for r in q.Q["curate_corpus"](spark, "/root/testdata/sf0.001").collect()}
+    assert rows == b
