@@ -150,6 +150,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     span_w: int = 8,
     domain_cap_n: int | None = None,
+    domain_grouping: str = "host",
     token_budget: int | None = None,
     min_kept_words: int = 5,
 ) -> DataFrame:
@@ -213,7 +214,13 @@ def curate_corpus(
         .select("url", "warc_ts", "lang_pred", F.col("text_stripped").alias("text"))
     )
     if domain_cap_n is not None:
-        corpus = ta.domain_cap(corpus, cap=domain_cap_n).drop("domain")
+        # domain_grouping="etld1" shares one quota across subdomain farms
+        # (functions.public_suffix); "host" stays the default for recorded-
+        # number reproducibility — the recipe's r4 scale walls were measured
+        # host-keyed
+        corpus = ta.domain_cap(
+            corpus, cap=domain_cap_n, grouping=domain_grouping
+        ).drop("domain")
     if token_budget is not None:
         packed = ta.token_budget_pack_bucketed(
             corpus, budget=token_budget, k=16, text_col="text", key="url"

@@ -44,6 +44,13 @@ def main() -> None:
         "curated corpus to --output instead of the lifecycle runner",
     )
     p.add_argument("--domain-cap", type=int, default=None)
+    p.add_argument(
+        "--domain-grouping",
+        choices=("host", "etld1"),
+        default="host",
+        help="quota key: normalized host, or registrable domain (eTLD+1, "
+        "public-suffix list) so subdomain farms share one quota",
+    )
     p.add_argument("--token-budget", type=int, default=None)
     args = p.parse_args()
 
@@ -60,6 +67,7 @@ def main() -> None:
             pages,
             repartition_to=args.repartition,
             domain_cap_n=args.domain_cap,
+            domain_grouping=args.domain_grouping,
             token_budget=args.token_budget,
         )
         out.write.mode("overwrite").parquet(args.output)

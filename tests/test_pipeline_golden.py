@@ -191,6 +191,19 @@ def test_curate_corpus_recipe(spark, pages_df):
         capped.groupBy(ta.url_domain(capped.url).alias("d")).count().collect()
     )
     assert per_dom and max(r["count"] for r in per_dom) <= 2
+    # etld1 grouping threads through: the quota key is the registrable
+    # domain, so per-eTLD+1 counts respect the cap too
+    from curator_spark.functions.public_suffix import registrable_domain
+
+    capped_e = curate_corpus(pages_df, domain_cap_n=2, domain_grouping="etld1")
+    per_reg = (
+        capped_e.groupBy(
+            registrable_domain(ta.url_domain(capped_e.url)).alias("d")
+        )
+        .count()
+        .collect()
+    )
+    assert per_reg and max(r["count"] for r in per_reg) <= 2
     # determinism under repartition
     again = {(r.url, r.text) for r in curate_corpus(pages_df.repartition(13)).collect()}
     assert again == {(r.url, r.text) for r in rows}
