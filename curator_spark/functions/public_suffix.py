@@ -381,6 +381,16 @@ class PSLRules:
         ds = {k for k in self.exact if k >= 2} | set(self.wild)
         return sorted(ds, reverse=True)
 
+    def exception_order(self) -> list[str]:
+        """Exceptions in ascending precedence: deepest (most labels) LAST.
+        All three engine forms derive their check order from this one list
+        — the python twin iterates it reversed (deepest first), the
+        Column/SQL forms wrap CASEs in list order so the last wrap is the
+        outermost test. A frozenset iteration here would be
+        PYTHONHASHSEED-dependent and split the twins on overlapping
+        exception rules (review-caught)."""
+        return sorted(self.exceptions, key=lambda e: (e.count("."), e))
+
 
 def parse_psl(text: str) -> PSLRules:
     """Parse PSL-format text (``//`` comments, blank lines, ``*.`` wildcard
@@ -430,7 +440,7 @@ def registrable_domain_py(host: str | None, rules: PSLRules = RULES) -> str | No
     """Python twin of :func:`registrable_domain` — same input contract
     (a normalized host as produced by ``url_domain``: lowercase, no
     userinfo/port), pinned equal to the JVM form by
-    ``tests/test_operators.py::test_registrable_domain_twin``."""
+    ``tests/test_public_suffix.py::test_three_engine_parity``."""
     if host is None:
         return None
     h = host.strip(".")
@@ -438,7 +448,7 @@ def registrable_domain_py(host: str | None, rules: PSLRules = RULES) -> str | No
         return None
     if _is_ip_py(h):
         return h
-    for e in rules.exceptions:
+    for e in reversed(rules.exception_order()):
         if h == e or h.endswith("." + e):
             return e
     parts = h.split(".")
@@ -492,7 +502,7 @@ def registrable_domain(host: Column, rules: PSLRules = RULES) -> Column:
     )
 
     out = etld1
-    for e in sorted(rules.exceptions):
+    for e in rules.exception_order():
         out = F.when((h == e) | h.endswith("." + e), F.lit(e)).otherwise(out)
     is_ip = h.startswith("[") | (F.regexp_extract(h, _IPV4_SQL, 0) != "")
     return F.when(host.isNull() | (h == ""), F.lit(None).cast("string")).otherwise(
@@ -541,9 +551,11 @@ def psl_sql_select(host_col: str, out_col: str = "domain", rules: PSLRules = RUL
         f"CASE WHEN {n} <= ({suffix_len}) THEN {host_col} "
         f"ELSE array_to_string(list_slice({parts}, {n} - ({suffix_len}), {n}), '.') END"
     )
-    for e in sorted(rules.exceptions):
+    for e in rules.exception_order():
+        # ends_with, not LIKE: a '_' or '%' in a rule string would be a
+        # LIKE metacharacter and silently widen the match (review-caught)
         etld1 = (
-            f"CASE WHEN {host_col} = {q(e)} OR {host_col} LIKE {q('%.' + e)} "
+            f"CASE WHEN {host_col} = {q(e)} OR ends_with({host_col}, {q('.' + e)}) "
             f"THEN {q(e)} ELSE {etld1} END"
         )
     is_ip = (

@@ -494,6 +494,7 @@ def domain_cap(
     url_col: str = "url",
     order_col: str | None = None,
     grouping: str = "host",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-domain quota (the C4/RefinedWeb anti-domination step): keep at
     most ``cap`` pages per domain, deterministically.
@@ -506,8 +507,14 @@ def domain_cap(
 
     Preference order within a domain: ``order_col`` descending when given
     (e.g. a quality score), content-hash order otherwise (md5(url) — the
-    repo's seeded-shuffle idiom, reshuffle/retry-stable); url is always the
-    final tiebreak, so the kept set is a pure function of row content.
+    repo's seeded-shuffle idiom, reshuffle/retry-stable); url is always a
+    tiebreak. The kept set is a pure function of row content ONLY if the
+    order keys are unique within each domain — rows sharing a url (or with
+    NULL urls, which all land in the NULL-domain group with NULL order
+    keys) tie, and row_number breaks ties by partition layout. Pass
+    ``tiebreak_col`` (a unique row id, ascending) whenever such collisions
+    are possible and determinism matters (review-caught: the registry
+    oracle diverged at sf0.1 once the NULL group outgrew the cap).
 
     Scale shape: rank-filter over ``Window.partitionBy(domain)`` keeps
     Spark's WindowGroupLimit pushdown (plan-pinned) — each map task prunes
@@ -530,6 +537,8 @@ def domain_cap(
         order = [F.col(order_col).desc(), F.col(url_col).asc()]
     else:
         order = [F.md5(F.col(url_col)).asc(), F.col(url_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy("_domain").orderBy(*order)
     return (
         d.withColumn("_rk", F.row_number().over(w))

@@ -1089,7 +1089,8 @@ def _domain_cap_sql(cap: int) -> str:
       SELECT doc_id, url, {public_suffix.psl_sql_select("hn", "domain")} FROM hosts
     ), rk AS (
       SELECT doc_id, url, domain,
-             row_number() OVER (PARTITION BY domain ORDER BY md5(url), url) AS rk
+             row_number() OVER (
+               PARTITION BY domain ORDER BY md5(url), url, doc_id) AS rk
       FROM dom
     )
     SELECT doc_id, url, domain FROM rk WHERE rk <= {cap}
@@ -1103,8 +1104,10 @@ def q_domain_cap(spark, sf_dir):
     deterministically from doc_id/source to light every path: www-subdomain
     merging, co.uk exact rules, userinfo+port stripping, *.bd wildcard
     suffixes, the !www.ck exception as a hot capped domain, IPv4/bracketed
-    IPv6 identity groups, and a NULL-url group smaller than the cap (its
-    internal order is all-ties, so only "kept entirely" is deterministic).
+    IPv6 identity groups, and a NULL-url group whose order keys are all
+    NULL — doc_id rides as the explicit tiebreak so the kept subset is
+    deterministic at EVERY sf (review-caught: without it, parity broke at
+    sf0.1 where 52 NULL rows exceed the cap).
     Scale shape: rank-filter riding WindowGroupLimit pushdown — a
     mega-domain ships ~cap rows per map task, never one giant window sort
     (plan-pinned in tests/test_public_suffix.py)."""
@@ -1127,9 +1130,9 @@ def q_domain_cap(spark, sf_dir):
         .otherwise(a("https://[2001:db8::", (did % 3).cast("string"), "]/p/", s))
     )
     d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
-    return textanalysis.domain_cap(d, cap=10, grouping="etld1").select(
-        "doc_id", "url", "domain"
-    )
+    return textanalysis.domain_cap(
+        d, cap=10, grouping="etld1", tiebreak_col="doc_id"
+    ).select("doc_id", "url", "domain")
 
 
 @_register(

@@ -160,6 +160,61 @@ def test_parse_psl_regen_path(spark):
     assert got == cases
 
 
+def test_overlapping_exceptions_and_like_metachars(spark):
+    """Review-caught twin splitters, pinned: (a) overlapping exception
+    rules ('!b.c' and '!a.b.c') must resolve deepest-first in ALL forms
+    regardless of PYTHONHASHSEED; (b) a '_' in a rule string must match
+    literally in the SQL form (ends_with, not LIKE)."""
+    rules = ps.parse_psl("*.c\n!b.c\n!a.b.c\n_tcp.example\n")
+    cases = {
+        "x.a.b.c": "a.b.c",   # deepest exception wins
+        "x.b.c": "b.c",
+        "a.b.c": "a.b.c",
+        "s._tcp.example": "s._tcp.example",
+        "s.xtcp.example": "xtcp.example",  # '_' is literal, not any-char
+    }
+    for host, want in cases.items():
+        assert ps.registrable_domain_py(host, rules) == want, host
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {
+        r.h: r.d
+        for r in df.select(
+            "h", ps.registrable_domain(F.col("h"), rules).alias("d")
+        ).collect()
+    }
+    assert got == cases
+    con = duckdb.connect()
+    sql = ps.psl_sql_select("hn", "d", rules)
+    for host, want in cases.items():
+        (got_sql,) = con.execute(
+            f"SELECT {sql} FROM (SELECT '{host}' AS hn)"
+        ).fetchone()
+        assert got_sql == want, host
+
+
+def test_domain_cap_tiebreak_determinism(spark):
+    """Order-key collisions (duplicate urls, a NULL group bigger than the
+    cap) make the kept set layout-dependent; tiebreak_col restores the
+    pure-function-of-content contract (review-caught at sf0.1: the
+    registry oracle diverged once the NULL group outgrew the cap)."""
+    from curator_spark.operators import textanalysis as ta
+
+    rows = [(i, "https://dup.example.com/same") for i in range(30)] + [
+        (i, None) for i in range(100, 130)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = ta.domain_cap(df, cap=5, tiebreak_col="doc_id")
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in ta.domain_cap(
+            df.repartition(17), cap=5, tiebreak_col="doc_id"
+        ).collect()
+    )
+    # lowest doc_ids win in each group — fully specified, not just stable
+    assert a == b == [0, 1, 2, 3, 4, 100, 101, 102, 103, 104]
+
+
 def test_domain_cap_etld1_closes_subdomain_farm(spark):
     """A farm spreading 40 pages across 40 subdomains of one registrable
     domain: host grouping keeps everything (the hole), etld1 grouping
@@ -198,10 +253,9 @@ def test_domain_cap_etld1_keeps_group_limit_pushdown(spark):
         "concat('https://s', CAST(id % 50 AS STRING), '.farm', "
         "CAST(id % 7 AS STRING), '.co.uk/p', id) AS url"
     )
-    capped = ta.domain_cap(pages, cap=5, grouping="etld1")
-    plan = capped._sc._jvm.PythonSQLUtils.explainString(
-        capped._jdf.queryExecution(), "formatted"
-    )
+    from test_plans import _plan
+
+    plan = _plan(ta.domain_cap(pages, cap=5, grouping="etld1"))
     assert "WindowGroupLimit" in plan
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
