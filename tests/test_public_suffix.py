@@ -259,3 +259,9 @@ def test_domain_cap_etld1_keeps_group_limit_pushdown(spark):
     assert "WindowGroupLimit" in plan
     assert "SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the host regex must stay STAGED in its own projection: codegen
+    # re-evaluates subexpressions per conditional reference, so an inlined
+    # url_domain would run the regex ~15x per row (measured 18.4 -> 2.0 s
+    # over 4.8M urls when staged). If CollapseProject ever starts inlining
+    # it, the explain text repeats the regex per CASE branch reference.
+    assert plan.count("regexp_extract") <= 3, plan.count("regexp_extract")
