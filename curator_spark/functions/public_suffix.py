@@ -482,8 +482,8 @@ def registrable_domain(host: Column, rules: PSLRules = RULES) -> Column:
     common-subexpression-eliminate across CASE branches, so every
     subexpression here is re-evaluated at each of its ~2-4 conditional
     references — the original split/slice/regexp form paid that multiplier
-    on array allocations and regex scans and ran 13 us/row; this form runs
-    ~1 us/row (see docs/ROUND4_NOTES.md). NULL-safe; hosts with no dot
+    on array allocations and regex scans and ran 7.1 us/row; this form runs
+    0.42 us/row with its input staged (see BENCH.md). NULL-safe; hosts with no dot
     group as themselves via the PSL default rule.
 
     ``substring_index(h, '.', -k)`` returns all of ``h`` when it has fewer

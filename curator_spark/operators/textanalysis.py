@@ -527,6 +527,11 @@ def domain_cap(
 
     if grouping not in ("host", "etld1"):
         raise ValueError(f"grouping must be 'host' or 'etld1', got {grouping!r}")
+    # working names this op writes (and would silently clobber/drop if the
+    # caller already had them — review-caught for _host): refuse loudly
+    for c in ("_domain", "_rk", "_host"):
+        if c in df.columns:
+            raise ValueError(f"domain_cap reserves column name {c!r}; rename it first")
     if grouping == "etld1":
         from ..functions.public_suffix import registrable_domain
 

@@ -165,13 +165,18 @@ def test_overlapping_exceptions_and_like_metachars(spark):
     rules ('!b.c' and '!a.b.c') must resolve deepest-first in ALL forms
     regardless of PYTHONHASHSEED; (b) a '_' in a rule string must match
     literally in the SQL form (ends_with, not LIKE)."""
-    rules = ps.parse_psl("*.c\n!b.c\n!a.b.c\n_tcp.example\n")
+    rules = ps.parse_psl("*.c\n!b.c\n!a.b.c\n!_u.c\n_tcp.example\n")
     cases = {
         "x.a.b.c": "a.b.c",   # deepest exception wins
         "x.b.c": "b.c",
         "a.b.c": "a.b.c",
         "s._tcp.example": "s._tcp.example",
-        "s.xtcp.example": "xtcp.example",  # '_' is literal, not any-char
+        "s.xtcp.example": "xtcp.example",  # '_' in an exact rule: literal
+        # '_' in an EXCEPTION rule — the one spot the SQL form ever used
+        # LIKE: 'x._u.c' must match '!_u.c', 'x.yu.c' must NOT (a LIKE
+        # revert makes '_' match the 'y' and this case fails)
+        "x._u.c": "_u.c",
+        "x.yu.c": "x.yu.c",   # *.c wildcard: x.yu.c IS a public suffix
     }
     for host, want in cases.items():
         assert ps.registrable_domain_py(host, rules) == want, host
