@@ -327,6 +327,97 @@ sc.ke
 me.ke
 mobi.ke
 info.ke
+// --- United States (state second-levels)
+al.us
+ak.us
+az.us
+ar.us
+ca.us
+co.us
+ct.us
+de.us
+dc.us
+fl.us
+ga.us
+hi.us
+id.us
+il.us
+in.us
+ia.us
+ks.us
+ky.us
+la.us
+me.us
+md.us
+ma.us
+mi.us
+mn.us
+ms.us
+mo.us
+mt.us
+ne.us
+nv.us
+nh.us
+nj.us
+nm.us
+ny.us
+nc.us
+nd.us
+oh.us
+ok.us
+or.us
+pa.us
+ri.us
+sc.us
+sd.us
+tn.us
+tx.us
+ut.us
+vt.us
+va.us
+wa.us
+wv.us
+wi.us
+wy.us
+// --- Colombia
+com.co
+net.co
+org.co
+edu.co
+gov.co
+mil.co
+nom.co
+// --- Peru
+com.pe
+net.pe
+org.pe
+edu.pe
+gob.pe
+mil.pe
+nom.pe
+// --- Venezuela
+com.ve
+net.ve
+org.ve
+edu.ve
+gob.ve
+mil.ve
+co.ve
+// --- Iran
+co.ir
+net.ir
+org.ir
+ac.ir
+gov.ir
+sch.ir
+// --- Sri Lanka
+com.lk
+net.lk
+org.lk
+edu.lk
+gov.lk
+ngo.lk
+ltd.lk
 // --- Canada (provinces + federal)
 on.ca
 qc.ca
