@@ -1063,16 +1063,19 @@ def _domain_cap_sql(cap: int) -> str:
     u = "CAST(doc_id AS VARCHAR)"
     url_case = (
         "CASE WHEN doc_id % 97 = 0 THEN NULL "
-        f"WHEN doc_id % 8 = 0 THEN 'https://www.' || source || '.com/p/' || {u} "
-        f"WHEN doc_id % 8 = 1 THEN 'https://' || source || '.com/p/' || {u} "
-        f"WHEN doc_id % 8 = 2 THEN 'https://blog.' || source || '.co.uk/p/' || {u} "
-        f"WHEN doc_id % 8 = 3 THEN 'https://user@' || source || '.org:8080/p/' || {u} "
-        f"WHEN doc_id % 8 = 4 THEN 'https://a' || CAST(doc_id % 5 AS VARCHAR) || '.' "
+        f"WHEN doc_id % 10 = 0 THEN 'https://www.' || source || '.com/p/' || {u} "
+        f"WHEN doc_id % 10 = 1 THEN 'https://' || source || '.com/p/' || {u} "
+        f"WHEN doc_id % 10 = 2 THEN 'https://blog.' || source || '.co.uk/p/' || {u} "
+        f"WHEN doc_id % 10 = 3 THEN 'https://user@' || source || '.org:8080/p/' || {u} "
+        f"WHEN doc_id % 10 = 4 THEN 'https://a' || CAST(doc_id % 5 AS VARCHAR) || '.' "
         f"|| source || '.bd/p/' || {u} "
-        f"WHEN doc_id % 8 = 5 THEN 'https://x' || CAST(doc_id % 7 AS VARCHAR) "
+        f"WHEN doc_id % 10 = 5 THEN 'https://x' || CAST(doc_id % 7 AS VARCHAR) "
         f"|| '.www.ck/p/' || {u} "
-        f"WHEN doc_id % 8 = 6 THEN 'https://10.' || CAST(doc_id % 3 AS VARCHAR) "
+        f"WHEN doc_id % 10 = 6 THEN 'https://10.' || CAST(doc_id % 3 AS VARCHAR) "
         f"|| '.0.1/p/' || {u} "
+        f"WHEN doc_id % 10 = 7 THEN 'https://www.t' || CAST(doc_id % 6 AS VARCHAR) "
+        f"|| '.github.io/p/' || {u} "
+        f"WHEN doc_id % 10 = 8 THEN 'https://' || source || '.blogspot.com.au/p/' || {u} "
         f"ELSE 'https://[2001:db8::' || CAST(doc_id % 3 AS VARCHAR) || ']/p/' || {u} END"
     )
     pat = textanalysis.URL_HOST_PATTERN
@@ -1104,16 +1107,19 @@ def q_domain_cap(spark, sf_dir):
     deterministically from doc_id/source to light every path: www-subdomain
     merging, co.uk exact rules, userinfo+port stripping, *.bd wildcard
     suffixes, the !www.ck exception as a hot capped domain, IPv4/bracketed
-    IPv6 identity groups, and a NULL-url group whose order keys are all
-    NULL — doc_id rides as the explicit tiebreak so the kept subset is
-    deterministic at EVERY sf (review-caught: without it, parity broke at
-    sf0.1 where 52 NULL rows exceed the cap).
+    IPv6 identity groups, PSL PRIVATE-section tenants (www.tN.github.io —
+    per-tenant quota under a multi-tenant platform — and blogspot.com.au,
+    a private depth-3 exact beating the ICANN com.au rule), and a NULL-url
+    group whose order keys are all NULL — doc_id rides as the explicit
+    tiebreak so the kept subset is deterministic at EVERY sf
+    (review-caught: without it, parity broke at sf0.1 where NULL rows
+    exceed the cap).
     Scale shape: rank-filter riding WindowGroupLimit pushdown — a
     mega-domain ships ~cap rows per map task, never one giant window sort
     (plan-pinned in tests/test_public_suffix.py)."""
     did = F.col("doc_id")
     s = did.cast("string")
-    m = did % 8
+    m = did % 10
 
     def a(*cols):
         return F.concat(*[F.lit(c) if isinstance(c, str) else c for c in cols])
@@ -1127,6 +1133,8 @@ def q_domain_cap(spark, sf_dir):
         .when(m == 4, a("https://a", (did % 5).cast("string"), ".", F.col("source"), ".bd/p/", s))
         .when(m == 5, a("https://x", (did % 7).cast("string"), ".www.ck/p/", s))
         .when(m == 6, a("https://10.", (did % 3).cast("string"), ".0.1/p/", s))
+        .when(m == 7, a("https://www.t", (did % 6).cast("string"), ".github.io/p/", s))
+        .when(m == 8, a("https://", F.col("source"), ".blogspot.com.au/p/", s))
         .otherwise(a("https://[2001:db8::", (did % 3).cast("string"), "]/p/", s))
     )
     d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))

