@@ -183,7 +183,10 @@ def duplicate_spans(
 
     Collision contract: 60 bits over S distinct shingles ~ S^2/2^61 false
     merges (negligible below ~10^8 shingles; at 10^12-doc scale a rare
-    false merge adds noise hits to a dedup HEURISTIC, never corrupts text)."""
+    false merge adds noise hits to a dedup HEURISTIC, never corrupts text).
+    That tolerance is specific to DETECTION — the action op
+    ``strip_duplicate_spans`` cuts text on its hits, so it uses a 120-bit
+    key (two independent md5 slices) instead; see its docstring."""
     sh = _hashed_positioned_shingles(df, text_col, key, w)
 
     from pyspark.sql import Window
@@ -1133,19 +1136,36 @@ def strip_duplicate_spans(
     is uniformly single-spaced). Pure function of row content: reshuffle/
     retry-deterministic.
 
-    Plan: same single-pass hashed h-window as ``duplicate_spans`` (8-byte
-    keys, sort-based/spilling, no join for detection), then ONE small join
-    of per-doc span lists (collect_list bounded by doc length — spans per
-    doc can't exceed n_tokens/w) back onto the doc scan, and one Arrow
-    stage to cut tokens. Docs without removable spans take the join's
-    left-outer fast path."""
+    Plan: same single-pass hashed-window detection as ``duplicate_spans``
+    (sort-based/spilling, no join), then ONE small join of per-doc span
+    lists (collect_list bounded by doc length — spans per doc can't exceed
+    n_tokens/w) back onto the doc scan, and one Arrow stage to cut tokens.
+    Docs without removable spans take the join's left-outer fast path.
+
+    Collision contract — STRONGER than ``duplicate_spans``' 60-bit key,
+    because this op is an ACTION: a false merge there adds a noise hit to
+    a heuristic, but here it would cut genuinely unique text from the
+    non-owner doc, silently and irreversibly (round-4 advisor finding). The
+    window therefore partitions by TWO independent 60-bit md5 slices
+    (120 bits total, same single shuffle, +8 bytes/row): expected false
+    cuts ~ S^2/2^121, i.e. ~4e-7 corpora-wide at S=10^15 shingles
+    (~10^12 docs) — vanishing where the 60-bit key's ~S^2/2^61 was ~4e11
+    expected collisions. Carrying the shingle STRING instead would be
+    collision-free but re-introduces the 50-100B string shuffle the hashed
+    form exists to avoid (measured 4.5x on the detection op)."""
     import pandas as pd
 
-    sh = _hashed_positioned_shingles(df, text_col, key, w)
+    sh = (
+        positioned_shingle_rows(df, text_col, key, w)
+        .withColumn("_m", F.md5("s"))
+        .withColumn("h", F.conv(F.substring("_m", 1, 15), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring("_m", 16, 15), 16, 10).cast("long"))
+        .drop("s", "_m")
+    )
 
     from pyspark.sql import Window
 
-    wh = Window.partitionBy("h")
+    wh = Window.partitionBy("h", "h2")
     removable = (
         sh.withColumn("_lo", F.min("id").over(wh))
         .filter(F.col("id") != F.col("_lo"))  # cross-doc dup AND not the owner

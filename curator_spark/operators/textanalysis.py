@@ -527,9 +527,12 @@ def domain_cap(
 
     if grouping not in ("host", "etld1"):
         raise ValueError(f"grouping must be 'host' or 'etld1', got {grouping!r}")
-    # working names this op writes (and would silently clobber/drop if the
-    # caller already had them — review-caught for _host): refuse loudly
-    for c in ("_domain", "_rk", "_host"):
+    # names this op writes (and would silently clobber/drop if the caller
+    # already had them — review-caught for _host): refuse loudly. 'domain'
+    # is the OUTPUT name — a pre-existing 'domain' column would survive the
+    # withColumnRenamed and leave TWO 'domain' columns, an AnalysisException
+    # landmine on first downstream reference (round-4 advisor finding).
+    for c in ("_domain", "_rk", "_host", "domain"):
         if c in df.columns:
             raise ValueError(f"domain_cap reserves column name {c!r}; rename it first")
     if grouping == "etld1":

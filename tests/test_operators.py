@@ -948,6 +948,13 @@ def test_domain_cap_hand_fixture(spark):
     b = {r.url for r in ta.domain_cap(df.repartition(7), cap=3).collect()}
     assert a == b and sum(u is not None and "big" in u.lower() for u in a) == 3
 
+    # reserved names refuse loudly — incl. the OUTPUT name 'domain': a
+    # pre-existing 'domain' column would otherwise survive the rename and
+    # leave two ambiguous 'domain' columns (round-4 advisor finding)
+    for c in ("domain", "_domain", "_rk", "_host"):
+        with pytest.raises(ValueError, match="reserves column"):
+            ta.domain_cap(df.withColumn(c, F.lit(1)), cap=3)
+
 
 def test_url_domain_edges(spark):
     from curator_spark.operators import textanalysis as ta
