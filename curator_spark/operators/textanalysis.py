@@ -198,7 +198,11 @@ def quality_score(df: DataFrame, text_col: str = "text", key: str = "doc_id") ->
 
 
 def token_budget_pack(
-    df: DataFrame, budget: int, text_col: str = "text", key: str = "doc_id"
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    key: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Fill a training-token budget with the best documents: rank by quality
     score (desc), tie-break by content hash (deterministic, reshuffle-
@@ -211,8 +215,13 @@ def token_budget_pack(
     ``token_budget_pack_bucketed`` below, which is the scale form (per-bucket
     budget under a partitionBy, no single-partition sort). Tests pin
     bucketed(k=1) == global.
+
+    ``score_col``: rank by an EXISTING score column instead of recomputing
+    ``quality_score`` over ``text_col`` — what a composed recipe wants when
+    an upstream stage already scored the docs (curate_corpus_exact packs
+    span-stripped text by the original quality score).
     """
-    ranked, order = _budget_ranked(df, text_col, key)
+    ranked, order = _budget_ranked(df, text_col, key, score_col)
     from pyspark.sql import Window
 
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -224,12 +233,16 @@ def token_budget_pack(
     )
 
 
-def _budget_ranked(df: DataFrame, text_col: str, key: str):
+def _budget_ranked(df: DataFrame, text_col: str, key: str, score_col: str | None = None):
     """Shared core of both budget-pack forms: (score ⋈ token counts) plus
     the canonical pack ordering (score desc, content-hash, key) — ONE
     definition so the global spec, the bucketed scale form, and their
-    oracles cannot drift."""
-    scored = quality_score(df, text_col, key).select(key, "score")
+    oracles cannot drift. ``score_col`` reuses a caller-provided score
+    (aliased to the canonical 'score' name) instead of recomputing."""
+    if score_col is not None:
+        scored = df.select(key, F.col(score_col).alias("score"))
+    else:
+        scored = quality_score(df, text_col, key).select(key, "score")
     toks = token_stats(df, text_col, key).select(key, "n_bpe_tokens")
     order = [
         F.col("score").desc(),
@@ -240,7 +253,12 @@ def _budget_ranked(df: DataFrame, text_col: str, key: str):
 
 
 def token_budget_pack_bucketed(
-    df: DataFrame, budget: int, k: int, text_col: str = "text", key: str = "doc_id"
+    df: DataFrame,
+    budget: int,
+    k: int,
+    text_col: str = "text",
+    key: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Scale form of ``token_budget_pack``: the budget is allocated per
     content-hash bucket (``budget // k`` tokens to each of ``k`` buckets)
@@ -260,7 +278,7 @@ def token_budget_pack_bucketed(
     """
     from pyspark.sql import Window
 
-    ranked, order = _budget_ranked(df, text_col, key)
+    ranked, order = _budget_ranked(df, text_col, key, score_col)
     bucket = (
         F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10).cast("long")
         % F.lit(k)

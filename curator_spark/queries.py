@@ -193,33 +193,6 @@ def q_fingerprint(spark, sf_dir):
 
 
 @_register(
-    "char_census",
-    """
-    SELECT doc_id,
-      length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS english_count,
-      length(text) - length(regexp_replace(text, '[؀-ۿݐ-ݿࢠ-ࣿ]', '', 'g')) AS arabic_count,
-      length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_count,
-      length(text) - length(regexp_replace(text, '[ \t\n\r\f\x0B]', '', 'g')) AS whitespace_count,
-      length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_symbol_count
-    FROM documents
-    """,
-)
-def q_char_census(spark, sf_dir):
-    """P8 char-class census (examples/custom/utils.py:4-36 parity)."""
-    from .operators.heuristics import census_stage
-
-    df = census_stage(_t(spark, sf_dir, "documents"), text_col="text")
-    return df.select(
-        "doc_id",
-        "english_count",
-        "arabic_count",
-        "digit_count",
-        "whitespace_count",
-        "punct_symbol_count",
-    )
-
-
-@_register(
     "heuristic_stats",
     f"""
     WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
@@ -245,15 +218,28 @@ def q_char_census(spark, sf_dir):
            ELSE 0.0 END AS repeated_line_frac,
       CASE WHEN len(w) > 0
            THEN 1.0 - len(list_distinct(lw)) / len(w)
-           ELSE 0.0 END AS dup_word_frac
+           ELSE 0.0 END AS dup_word_frac,
+      length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS english_count,
+      length(text) - length(regexp_replace(text, '[؀-ۿݐ-ݿࢠ-ࣿ]', '', 'g')) AS arabic_count,
+      length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_count,
+      length(text) - length(regexp_replace(text, '[ \t\n\r\f\x0B]', '', 'g')) AS whitespace_count,
+      length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS punct_symbol_count
     FROM s
     """,
 )
 def q_heuristic_stats(spark, sf_dir):
-    """The Gopher/C4 heuristic statistics as native codegen columns."""
-    from .operators.heuristics import heuristics_stage
+    """The Gopher/C4 heuristic statistics as native codegen columns, plus
+    the P8 char-class census (examples/custom/utils.py:4-36 parity) — one
+    per-doc query over one scan (r5 fold: the former standalone
+    ``char_census`` entry freed the registry slot for
+    ``curate_corpus_exact`` under the driver's 50-entry cap; both operators
+    remain independently exercised, census_stage also in pytest)."""
+    from .operators.heuristics import census_stage, heuristics_stage
 
-    df = heuristics_stage(_t(spark, sf_dir, "documents"), text_col="text")
+    df = census_stage(
+        heuristics_stage(_t(spark, sf_dir, "documents"), text_col="text"),
+        text_col="text",
+    )
     return df.select(
         "doc_id",
         "n_chars",
@@ -263,6 +249,11 @@ def q_heuristic_stats(spark, sf_dir):
         "symbol_ratio",
         "repeated_line_frac",
         "dup_word_frac",
+        "english_count",
+        "arabic_count",
+        "digit_count",
+        "whitespace_count",
+        "punct_symbol_count",
     )
 
 
@@ -474,9 +465,12 @@ def q_near_dup_components(spark, sf_dir):
 # -> candidate-restricted distinct-shingle Jaccard. Every fragment is the
 # same (already oracle-verified) SQL as the per-operator oracles above —
 # composed so the production path itself is hash-checked end-to-end.
-_CAPPED_LSH_JACCARD_CTES = f"""
-    keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-    docs AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+# Parameterized on the source relation so curate_corpus_exact can run the
+# identical chain over its score-filtered subset (r5).
+def _capped_lsh_jaccard_ctes(src: str = "documents") -> str:
+    return f"""
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM {src} GROUP BY md5(text)),
+    docs AS (SELECT d.doc_id, d.text FROM {src} d JOIN keepers k ON d.doc_id = k.doc_id),
     toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM docs),
     sh AS (
       SELECT doc_id,
@@ -517,6 +511,9 @@ _CAPPED_LSH_JACCARD_CTES = f"""
       JOIN na b ON i.id_b = b.doc_id
       WHERE i.inter / (a.n + b.n - i.inter) >= 0.5)
 """
+
+
+_CAPPED_LSH_JACCARD_CTES = _capped_lsh_jaccard_ctes("documents")
 
 
 @_register(
@@ -1055,38 +1052,74 @@ def q_token_budget_pack_bucketed(spark, sf_dir):
     )
 
 
+# Synthesized-url CASE shared by the domain_cap oracle and the composed
+# curate_corpus_exact oracle (Spark twin: _synth_url_col below) — a pure
+# function of (doc_id, source) that lights every PSL path; see
+# q_domain_cap's docstring for what each branch exercises.
+_SYNTH_U = "CAST(doc_id AS VARCHAR)"
+_SYNTH_URL_CASE_SQL = (
+    "CASE WHEN doc_id % 97 = 0 THEN NULL "
+    f"WHEN doc_id % 10 = 0 THEN 'https://www.' || source || '.com/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 1 THEN 'https://' || source || '.com/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 2 THEN 'https://blog.' || source || '.co.uk/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 3 THEN 'https://user@' || source || '.org:8080/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 4 THEN 'https://a' || CAST(doc_id % 5 AS VARCHAR) || '.' "
+    f"|| source || '.bd/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 5 THEN 'https://x' || CAST(doc_id % 7 AS VARCHAR) "
+    f"|| '.www.ck/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 6 THEN 'https://10.' || CAST(doc_id % 3 AS VARCHAR) "
+    f"|| '.0.1/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 7 THEN 'https://www.t' || CAST(doc_id % 6 AS VARCHAR) "
+    f"|| '.github.io/p/' || {_SYNTH_U} "
+    f"WHEN doc_id % 10 = 8 THEN 'https://' || source || '.blogspot.com.au/p/' || {_SYNTH_U} "
+    f"ELSE 'https://[2001:db8::' || CAST(doc_id % 3 AS VARCHAR) || ']/p/' || {_SYNTH_U} END"
+)
+
+# Host normalization shared by the same two oracles: the ONE host regex
+# (textanalysis.URL_HOST_PATTERN) + the lower/trim-dot/NULL-blank chain that
+# mirrors url_domain -> registrable_domain's input handling.
+_SYNTH_HOST_SQL = f"regexp_extract(url, '{textanalysis.URL_HOST_PATTERN}', 1)"
+_SYNTH_HN_SQL = (
+    f"CASE WHEN {_SYNTH_HOST_SQL} = '' THEN NULL "
+    f"ELSE nullif(trim(lower({_SYNTH_HOST_SQL}), '.'), '') END"
+)
+
+
+def _synth_url_col() -> F.Column:
+    """Spark twin of ``_SYNTH_URL_CASE_SQL`` — same deterministic url per
+    (doc_id, source), branch for branch."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    m = did % 10
+
+    def a(*cols):
+        return F.concat(*[F.lit(c) if isinstance(c, str) else c for c in cols])
+
+    return (
+        F.when(did % 97 == 0, F.lit(None).cast("string"))
+        .when(m == 0, a("https://www.", F.col("source"), ".com/p/", s))
+        .when(m == 1, a("https://", F.col("source"), ".com/p/", s))
+        .when(m == 2, a("https://blog.", F.col("source"), ".co.uk/p/", s))
+        .when(m == 3, a("https://user@", F.col("source"), ".org:8080/p/", s))
+        .when(m == 4, a("https://a", (did % 5).cast("string"), ".", F.col("source"), ".bd/p/", s))
+        .when(m == 5, a("https://x", (did % 7).cast("string"), ".www.ck/p/", s))
+        .when(m == 6, a("https://10.", (did % 3).cast("string"), ".0.1/p/", s))
+        .when(m == 7, a("https://www.t", (did % 6).cast("string"), ".github.io/p/", s))
+        .when(m == 8, a("https://", F.col("source"), ".blogspot.com.au/p/", s))
+        .otherwise(a("https://[2001:db8::", (did % 3).cast("string"), "]/p/", s))
+    )
+
+
 def _domain_cap_sql(cap: int) -> str:
     """Oracle for the domain_cap entry: the synthesized-url CASE, the ONE
     host regex (textanalysis.URL_HOST_PATTERN), the PSL registrable-domain
     mirror (public_suffix.psl_sql_select — generated from the same parsed
     snapshot the Column form uses), and the deterministic rank filter."""
-    u = "CAST(doc_id AS VARCHAR)"
-    url_case = (
-        "CASE WHEN doc_id % 97 = 0 THEN NULL "
-        f"WHEN doc_id % 10 = 0 THEN 'https://www.' || source || '.com/p/' || {u} "
-        f"WHEN doc_id % 10 = 1 THEN 'https://' || source || '.com/p/' || {u} "
-        f"WHEN doc_id % 10 = 2 THEN 'https://blog.' || source || '.co.uk/p/' || {u} "
-        f"WHEN doc_id % 10 = 3 THEN 'https://user@' || source || '.org:8080/p/' || {u} "
-        f"WHEN doc_id % 10 = 4 THEN 'https://a' || CAST(doc_id % 5 AS VARCHAR) || '.' "
-        f"|| source || '.bd/p/' || {u} "
-        f"WHEN doc_id % 10 = 5 THEN 'https://x' || CAST(doc_id % 7 AS VARCHAR) "
-        f"|| '.www.ck/p/' || {u} "
-        f"WHEN doc_id % 10 = 6 THEN 'https://10.' || CAST(doc_id % 3 AS VARCHAR) "
-        f"|| '.0.1/p/' || {u} "
-        f"WHEN doc_id % 10 = 7 THEN 'https://www.t' || CAST(doc_id % 6 AS VARCHAR) "
-        f"|| '.github.io/p/' || {u} "
-        f"WHEN doc_id % 10 = 8 THEN 'https://' || source || '.blogspot.com.au/p/' || {u} "
-        f"ELSE 'https://[2001:db8::' || CAST(doc_id % 3 AS VARCHAR) || ']/p/' || {u} END"
-    )
-    pat = textanalysis.URL_HOST_PATTERN
-    host = f"regexp_extract(url, '{pat}', 1)"
     return f"""
     WITH base AS (
-      SELECT doc_id, {url_case} AS url FROM documents
+      SELECT doc_id, {_SYNTH_URL_CASE_SQL} AS url FROM documents
     ), hosts AS (
-      SELECT doc_id, url,
-             CASE WHEN {host} = '' THEN NULL
-                  ELSE nullif(trim(lower({host}), '.'), '') END AS hn
+      SELECT doc_id, url, {_SYNTH_HN_SQL} AS hn
       FROM base
     ), dom AS (
       SELECT doc_id, url, {public_suffix.psl_sql_select("hn", "domain")} FROM hosts
@@ -1117,27 +1150,7 @@ def q_domain_cap(spark, sf_dir):
     Scale shape: rank-filter riding WindowGroupLimit pushdown — a
     mega-domain ships ~cap rows per map task, never one giant window sort
     (plan-pinned in tests/test_public_suffix.py)."""
-    did = F.col("doc_id")
-    s = did.cast("string")
-    m = did % 10
-
-    def a(*cols):
-        return F.concat(*[F.lit(c) if isinstance(c, str) else c for c in cols])
-
-    url = (
-        F.when(did % 97 == 0, F.lit(None).cast("string"))
-        .when(m == 0, a("https://www.", F.col("source"), ".com/p/", s))
-        .when(m == 1, a("https://", F.col("source"), ".com/p/", s))
-        .when(m == 2, a("https://blog.", F.col("source"), ".co.uk/p/", s))
-        .when(m == 3, a("https://user@", F.col("source"), ".org:8080/p/", s))
-        .when(m == 4, a("https://a", (did % 5).cast("string"), ".", F.col("source"), ".bd/p/", s))
-        .when(m == 5, a("https://x", (did % 7).cast("string"), ".www.ck/p/", s))
-        .when(m == 6, a("https://10.", (did % 3).cast("string"), ".0.1/p/", s))
-        .when(m == 7, a("https://www.t", (did % 6).cast("string"), ".github.io/p/", s))
-        .when(m == 8, a("https://", F.col("source"), ".blogspot.com.au/p/", s))
-        .otherwise(a("https://[2001:db8::", (did % 3).cast("string"), "]/p/", s))
-    )
-    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", _synth_url_col().alias("url"))
     return textanalysis.domain_cap(
         d, cap=10, grouping="etld1", tiebreak_col="doc_id"
     ).select("doc_id", "url", "domain")
@@ -1738,6 +1751,186 @@ def q_curate_corpus(spark, sf_dir):
     pages = load_pages(spark, sf_dir)
     out = curate_corpus(pages, domain_cap_n=50, token_budget=200_000)
     return out.select("url", "lang_pred", "text")
+
+
+def _curate_corpus_exact_sql(
+    min_score: int = 4,
+    span_w: int = 8,
+    min_kept_words: int = 5,
+    cap: int = 3,
+    budget: int = 12000,
+    k: int = 4,
+) -> str:
+    """End-to-end oracle for the composed curation recipe — every stage is
+    the SAME (already oracle-verified) SQL fragment as its per-operator
+    oracle, chained: _SCORE_CTES heuristic score -> score floor ->
+    _capped_lsh_jaccard_ctes + recursive-CTE components over the kept
+    subset -> min-key survivors -> 120-bit keep-one span strip (the
+    strip_duplicate_spans mirror: removable = non-owner hits over the two
+    md5 slices, gaps-and-islands merge, token-range cut, single-spaced
+    re-render) -> min_kept_words stub floor -> synthesized-url eTLD+1
+    domain cap -> per-bucket token-budget pack ranked by the ORIGINAL
+    quality score."""
+    quota = budget // k
+    wm1 = span_w - 1
+    return f"""
+    WITH RECURSIVE {_SCORE_CTES},
+    kept AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN f ON d.doc_id = f.doc_id
+      WHERE f.score >= {min_score}),
+    {_capped_lsh_jaccard_ctes("kept")},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jac
+      UNION SELECT id_b, id_a FROM jac),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM edges
+      UNION
+      SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+      WHERE c.lbl <> e.dst),
+    comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+    corpus AS (
+      SELECT k2.doc_id, k2.source, k2.text
+      FROM kept k2
+      JOIN keepers kp ON k2.doc_id = kp.doc_id
+      LEFT JOIN losers l ON k2.doc_id = l.doc_id
+      WHERE l.doc_id IS NULL),
+    sp_toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM corpus),
+    sp_sh AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + {wm1} AS INTEGER)], ' ')) AS m
+      FROM sp_toks, unnest(range(1, len(w) - {span_w - 2})) AS u(i)
+      WHERE len(w) >= {span_w}),
+    sp_rm AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               MIN(doc_id) OVER (
+                 PARTITION BY CAST(concat('0x', substr(m, 1, 15)) AS BIGINT),
+                              CAST(concat('0x', substr(m, 16, 15)) AS BIGINT)) AS lo
+        FROM sp_sh) z
+      WHERE doc_id <> lo),
+    sp_i AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {span_w}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM sp_rm),
+    sp_g AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM sp_i),
+    sp_spans AS (SELECT doc_id, min(pos) AS a, max(pos) + {wm1} AS b
+                 FROM sp_g GROUP BY doc_id, isl),
+    sp_drop AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS pos
+                FROM sp_spans, unnest(range(a, b + 1)) AS v(p)),
+    sp_tokpos AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, w[CAST(i AS INTEGER)] AS tok
+                  FROM sp_toks, unnest(range(1, len(w) + 1)) AS u(i)),
+    sp_kept AS (
+      SELECT t2.doc_id, t2.pos, t2.tok
+      FROM sp_tokpos t2 LEFT JOIN sp_drop dr ON t2.doc_id = dr.doc_id AND t2.pos = dr.pos
+      WHERE dr.pos IS NULL AND t2.tok <> ''),
+    cut AS (
+      SELECT c.doc_id, c.source,
+             coalesce(ag.text_stripped, '') AS text_stripped,
+             coalesce(ag.n_kept_words, 0) AS n_kept_words
+      FROM corpus c LEFT JOIN (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS text_stripped,
+               COUNT(*) AS n_kept_words
+        FROM sp_kept GROUP BY doc_id) ag ON c.doc_id = ag.doc_id),
+    floored AS (SELECT doc_id, source, text_stripped FROM cut
+                WHERE n_kept_words >= {min_kept_words}),
+    urls AS (SELECT doc_id, text_stripped, {_SYNTH_URL_CASE_SQL} AS url FROM floored),
+    hosts2 AS (SELECT doc_id, url, text_stripped, {_SYNTH_HN_SQL} AS hn FROM urls),
+    dom2 AS (SELECT doc_id, url, text_stripped,
+                    {public_suffix.psl_sql_select("hn", "domain")} FROM hosts2),
+    rk2 AS (
+      SELECT doc_id, url, domain, text_stripped,
+             row_number() OVER (
+               PARTITION BY domain ORDER BY md5(url), url, doc_id) AS rk
+      FROM dom2),
+    dcap AS (SELECT doc_id, domain, text_stripped FROM rk2 WHERE rk <= {cap}),
+    tok2 AS (SELECT doc_id,
+                    len(regexp_extract_all(text_stripped, '{_BPE}')) AS n_bpe
+             FROM dcap),
+    fb2 AS (
+      SELECT d.doc_id, d.domain, d.text_stripped, f.score,
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % {k} AS bucket
+      FROM dcap d JOIN f ON d.doc_id = f.doc_id),
+    r2 AS (
+      SELECT fb2.doc_id, fb2.bucket, fb2.domain, fb2.text_stripped, fb2.score, tok2.n_bpe,
+             SUM(tok2.n_bpe) OVER (PARTITION BY fb2.bucket
+                                   ORDER BY fb2.score DESC,
+                                            md5(CAST(fb2.doc_id AS VARCHAR)), fb2.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS running
+      FROM fb2 JOIN tok2 ON fb2.doc_id = tok2.doc_id)
+    SELECT doc_id, domain, CAST(bucket AS BIGINT) AS bucket,
+           CAST(score AS INTEGER) AS score,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CAST(running AS BIGINT) AS running_tokens,
+           text_stripped
+    FROM r2 WHERE running <= {quota}
+    """
+
+
+@_register("curate_corpus_exact", _curate_corpus_exact_sql())
+def q_curate_corpus_exact(spark, sf_dir):
+    """The composed curation recipe, ORACLE-EXACT end to end (r5, VERDICT
+    #2): heuristic quality score (>= 4 floor, the no-model stand-in for the
+    flagship's UDF scoring) -> exact dedup + capped LSH + Jaccard verify +
+    connected components -> min-key survivors -> keep-one duplicate-span
+    strip (w=8, 120-bit key) with the 5-kept-words stub floor ->
+    synthesized-url eTLD+1 domain cap (3/domain) -> bucketed token-budget
+    pack (12000 tokens over k=4 content-hash buckets) ranked by the
+    ORIGINAL quality score. Every stage is the same production operator the
+    rows-only ``curate_corpus`` flagship runs; the DuckDB twin chains the
+    verified per-stage SQL fragments, so the hash match covers the
+    COMPOSITION (stage hand-offs, survivor sets, floor placement, rank
+    keys), not just the ingredients."""
+    d = _t(spark, sf_dir, "documents")
+    scored = textanalysis.quality_score(d).select("doc_id", "score")
+    kept = d.select("doc_id", "source", "text").join(
+        scored.filter(F.col("score") >= 4), "doc_id"
+    )
+    surv = dedup.near_dup_survivors(kept, threshold=0.5)
+    corpus = kept.join(surv.select("doc_id"), "doc_id", "left_semi")
+    stripped = dedup.strip_duplicate_spans(corpus, w=8)
+    floored = (
+        corpus.join(
+            stripped.select("doc_id", "text_stripped", "n_kept_words"), "doc_id"
+        )
+        .filter(F.col("n_kept_words") >= 5)
+        .select("doc_id", "source", "score", "text_stripped")
+    )
+    withu = floored.select(
+        "doc_id", "score", "text_stripped", _synth_url_col().alias("url")
+    )
+    capped = textanalysis.domain_cap(
+        withu, cap=3, grouping="etld1", tiebreak_col="doc_id"
+    )
+    packed = textanalysis.token_budget_pack_bucketed(
+        capped,
+        budget=12000,
+        k=4,
+        text_col="text_stripped",
+        key="doc_id",
+        score_col="score",
+    )
+    return packed.join(
+        capped.select("doc_id", "domain", "text_stripped"), "doc_id"
+    ).select(
+        "doc_id",
+        "domain",
+        "bucket",
+        "score",
+        "n_bpe_tokens",
+        "running_tokens",
+        "text_stripped",
+    )
 
 
 # ---------------------------------------------------------------------------
