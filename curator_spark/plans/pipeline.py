@@ -10,6 +10,8 @@ scales with cores (no barrier, no driver round-trips).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -153,6 +155,7 @@ def curate_corpus(
     domain_grouping: str = "host",
     token_budget: int | None = None,
     min_kept_words: int = 5,
+    _persist_registry: list | None = None,
 ) -> DataFrame:
     """The full training-data curation recipe over a pages table, as ONE
     composed declarative plan — what a user of the reference would run
@@ -182,9 +185,14 @@ def curate_corpus(
     Caching contract: the kept intermediate stays persisted for the
     session (it is referenced by the lazy plan this function returns, so
     it cannot be unpersisted here without re-executing the UDF stage per
-    downstream job). Callers running MANY recipes in one long-lived
-    driver should ``spark.catalog.clearCache()`` between them; Spark's
-    MEMORY_AND_DISK eviction bounds the damage if they don't.
+    downstream job). Long-lived drivers running MANY recipes should use
+    ``curate_corpus_session`` below, which owns the persist/unpersist
+    lifetime; or ``spark.catalog.clearCache()`` between bare calls.
+    Spark's MEMORY_AND_DISK eviction bounds the damage either way.
+
+    ``_persist_registry``: internal — when a list is passed, every
+    intermediate this recipe persists is appended to it so the caller
+    (``curate_corpus_session``) can unpersist them deterministically.
     """
     from ..operators import dedup
     from ..operators import textanalysis as ta
@@ -198,6 +206,8 @@ def curate_corpus(
     # ReuseExchange never spans jobs). Persist the NARROW kept columns once;
     # spill-safe, and ~50x smaller than the html input.
     kept = kept.persist()
+    if _persist_registry is not None:
+        _persist_registry.append(kept)
     surv = dedup.near_dup_survivors(
         kept, text_col="scrubbed_text", key="url", threshold=jaccard_threshold
     )
@@ -227,3 +237,27 @@ def curate_corpus(
         )
         corpus = corpus.join(packed.select("url"), "url", "left_semi")
     return corpus
+
+
+@contextmanager
+def curate_corpus_session(pages: DataFrame, **kwargs):
+    """Context-managed ``curate_corpus`` that OWNS its cache lifetime: the
+    recipe's persisted intermediate is unpersisted on exit, so a long-lived
+    driver can run recipe after recipe without accumulating pinned storage
+    (the bare function's documented footgun — its lazy result references
+    the persisted frame, so it can't safely unpersist itself).
+
+    Consume the corpus INSIDE the block (collect/write/count); after exit
+    the returned frame still computes, but re-executes the scoring UDF
+    stage per downstream job instead of reading the cache.
+
+        with curate_corpus_session(pages, domain_cap_n=50) as corpus:
+            corpus.write.parquet(out_dir)
+    """
+    handles: list[DataFrame] = []
+    corpus = curate_corpus(pages, _persist_registry=handles, **kwargs)
+    try:
+        yield corpus
+    finally:
+        for h in handles:
+            h.unpersist()

@@ -207,3 +207,27 @@ def test_curate_corpus_recipe(spark, pages_df):
     # determinism under repartition
     again = {(r.url, r.text) for r in curate_corpus(pages_df.repartition(13)).collect()}
     assert again == {(r.url, r.text) for r in rows}
+
+
+def test_curate_corpus_session_owns_cache(spark, pages_df):
+    """Two sequential recipes through the context manager leave ZERO
+    dataframes pinned in the cache manager (r5 VERDICT #5): the session
+    wrapper unpersists the kept intermediate on exit, so a long-lived
+    driver can loop recipes without accumulating pinned storage. Also pins
+    that the wrapper returns the same corpus as the bare call."""
+    from curator_spark.plans.pipeline import curate_corpus, curate_corpus_session
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    # start clean so the assertion below is about THIS test's recipes
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
+
+    baseline = {(r.url, r.text) for r in curate_corpus(pages_df).collect()}
+    spark.catalog.clearCache()  # release the bare call's documented pin
+
+    for _ in range(2):
+        with curate_corpus_session(pages_df) as corpus:
+            assert not cache_mgr.isEmpty()  # the cache IS used inside
+            got = {(r.url, r.text) for r in corpus.collect()}
+            assert got == baseline
+        assert cache_mgr.isEmpty(), "recipe left a persisted frame behind"
