@@ -134,11 +134,110 @@ def run_flagship(rep: int, cores: int) -> dict:
     return rec
 
 
+# --------------------------------------------------------------------------
+# Span-family pathological skew (round-5 verdict item #3). Two adversarial
+# shapes for duplicate_spans / strip_duplicate_spans:
+#
+# - MEGA-SHINGLE: one 8-gram present in EVERY doc (sentinel appended to all
+#   1.2M texts). Stresses the partitionBy(h) detection window — that one h
+#   value lands ~n_docs rows in a single sort-based window partition, which
+#   must spill, not OOM, and the wall must stay ~linear in n_docs.
+# - MEGA-DOC: one document of ~4M tokens built by repeating the whole base
+#   corpus, unioned with the base docs. Every base shingle recurs in the
+#   mega doc, so ~all of its ~4M positions are duplicated hits — the
+#   partitionBy(doc) islands window sees them in ONE partition (sort-based,
+#   spills), and strip's Arrow cut stage handles one ~25MB row whose drop
+#   set covers ~the whole doc.
+# --------------------------------------------------------------------------
+
+_SENTINEL = " ".join(f"megaspan{i}" for i in range(8))  # exactly one 8-gram
+
+
+def _timed_noop(df) -> tuple[float, int]:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.monotonic() - t0, 2)
+    return wall, df.count()  # rows re-executed OUTSIDE the timed window
+
+
+def megadoc_dir(spark, target_tokens: int = 4_000_000) -> str:
+    out = "/tmp/scale_megadoc"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        texts = [r.text for r in docs.select("text").collect()]
+        blob = " ".join(texts)
+        n_blob = len(blob.split())
+        reps = max(1, target_tokens // n_blob)
+        mega = " ".join([blob] * reps)
+        mega_df = spark.createDataFrame(
+            [(10**9, mega)], "doc_id long, text string"
+        )
+        base = docs.select("doc_id", "text")
+        base.unionByName(mega_df).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        open(marker, "w").close()
+    return out
+
+
+def run_span_skew(spark) -> None:
+    from curator_spark.operators import dedup as dd
+
+    # mega-shingle at both replications -> linearity bound on the h-window
+    for k in (SMALL, BIG):
+        d = replicated_docs_dir(spark, k)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet")).select(
+            "doc_id", F.concat_ws(" ", "text", F.lit(_SENTINEL)).alias("text")
+        )
+        wall, rows = _timed_noop(dd.duplicate_spans(docs, w=8))
+        print(
+            json.dumps(
+                {
+                    "stress": f"span_megashingle_x{k}",
+                    "cpus": CPUS,
+                    "wall_sec": wall,
+                    "span_rows": rows,
+                }
+            ),
+            flush=True,
+        )
+
+    # mega-doc: detection window + strip's Arrow cut on one ~4M-token row
+    d = megadoc_dir(spark)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    wall_det, rows_det = _timed_noop(dd.duplicate_spans(docs, w=8))
+    stripped = dd.strip_duplicate_spans(docs, w=8)
+    wall_strip, rows_strip = _timed_noop(stripped)
+    mega = stripped.filter(F.col("doc_id") == 10**9).select(
+        "n_words", "n_removed", "n_kept_words"
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "stress": "span_megadoc",
+                "cpus": CPUS,
+                "detect_wall_sec": wall_det,
+                "detect_rows": rows_det,
+                "strip_wall_sec": wall_strip,
+                "strip_rows": rows_strip,
+                "mega_n_words": mega["n_words"],
+                "mega_n_removed": mega["n_removed"],
+                "mega_n_kept_words": mega["n_kept_words"],
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     from curator_spark.session import get_spark
 
+    span_only = os.environ.get("STRESS_MODE") == "span_skew"
+
     # flagship first (own pinned subprocesses; no session held here)
-    if not os.environ.get("STRESS_SKIP_FLAGSHIP"):
+    if not span_only and not os.environ.get("STRESS_SKIP_FLAGSHIP"):
         for rep in (SMALL, BIG):
             for cores in (16, 32):
                 run_flagship(rep, cores)
@@ -148,9 +247,14 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=4 * CPUS,
     )
-    for k in (SMALL, BIG):
-        d = replicated_docs_dir(spark, k)
-        run_dedup_family(spark, d, f"x{k}")
+    if span_only:
+        run_span_skew(spark)
+    else:
+        for k in (SMALL, BIG):
+            d = replicated_docs_dir(spark, k)
+            run_dedup_family(spark, d, f"x{k}")
+        if os.environ.get("STRESS_SPAN_SKEW"):
+            run_span_skew(spark)
     spark.stop()
 
 
