@@ -647,8 +647,8 @@ def registrable_domain(host: Column, rules: PSLRules = RULES) -> Column:
     subexpression here is re-evaluated at each of its ~2-4 conditional
     references — the original split/slice/regexp form paid that multiplier
     on array allocations and regex scans and ran 7.1 us/row; this form runs
-    0.42 us/row with its input staged (see BENCH.md). NULL-safe; hosts with no dot
-    group as themselves via the PSL default rule.
+    0.34 us/row with its input staged (BENCH.md round-5 table). NULL-safe;
+    hosts with no dot group as themselves via the PSL default rule.
 
     ``substring_index(h, '.', -k)`` returns all of ``h`` when it has fewer
     than k labels, so exact/wild membership can only fire spuriously when
@@ -663,8 +663,8 @@ def registrable_domain(host: Column, rules: PSLRules = RULES) -> Column:
     ``suffix_len`` CASE tree and then mapped it through a second
     ``suffix_len == k`` chain — since codegen never CSEs across CASE
     branches, that re-evaluated the whole membership tree once per depth;
-    harmless at 2 depths, a measured 3x regression when the PSL private
-    section added a third (6.0 -> 2.1 s over 4.8M urls, see BENCH.md)."""
+    harmless at 2 depths, a measured ~4x regression when the PSL private
+    section added a third (5.99 -> 1.61 s over 4.8M urls, see BENCH.md)."""
     h = F.btrim(host, F.lit("."))
     n = F.length(h) - F.length(F.translate(h, ".", "")) + F.lit(1)
 

@@ -255,9 +255,11 @@ def curate_corpus_session(pages: DataFrame, **kwargs):
             corpus.write.parquet(out_dir)
     """
     handles: list[DataFrame] = []
-    corpus = curate_corpus(pages, _persist_registry=handles, **kwargs)
+    # curate_corpus registers its persist BEFORE later stages can raise
+    # (e.g. a bad grouping/budget argument), so construction itself must
+    # already be inside the cleanup scope or a failed build leaks the pin.
     try:
-        yield corpus
+        yield curate_corpus(pages, _persist_registry=handles, **kwargs)
     finally:
         for h in handles:
             h.unpersist()

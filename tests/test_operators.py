@@ -1200,3 +1200,39 @@ def test_duplicate_spans_mega_shingle_skew(spark):
     got = dedup.duplicate_spans(df, w=8).collect()
     assert len(got) == n
     assert all((r.span_start, r.span_end, r.n_dup_shingles) == (3, 10, 1) for r in got)
+
+
+def test_census_stage_matches_python_twin(spark):
+    """census_stage (JVM regexp_replace census) == rules.char_census per
+    class on adversarial texts — the standalone pin for the operator after
+    the r5 registry fold moved it into the heuristic_stats query/oracle."""
+    from curator_spark import rules
+    from curator_spark.operators.heuristics import census_stage
+
+    texts = [
+        "",
+        "plain English words",
+        "digits 0123456789 mixed in",
+        "\t \n\r\f\x0b all the whitespace kinds",
+        "punct!@#[]`{~}/:;<=>?",
+        "نص عربي مع English و 42",
+        "других культур λόγος 漢字 mixed scripts",  # all land in other_count
+        "edge.case: a-b_c (d) [e] {f} 'g' \"h\"",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = [
+        "english_count",
+        "arabic_count",
+        "digit_count",
+        "whitespace_count",
+        "punct_symbol_count",
+        "other_count",
+    ]
+    got = {
+        r.doc_id: {c: r[c] for c in cols}
+        for r in census_stage(df, text_col="text").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == rules.char_census(t), t

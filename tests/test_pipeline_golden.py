@@ -231,3 +231,10 @@ def test_curate_corpus_session_owns_cache(spark, pages_df):
             got = {(r.url, r.text) for r in corpus.collect()}
             assert got == baseline
         assert cache_mgr.isEmpty(), "recipe left a persisted frame behind"
+
+    # a recipe that fails to CONSTRUCT (bad argument raised after the
+    # intermediate was persisted) must not leak the pin either (r5 review)
+    with pytest.raises(ValueError):
+        with curate_corpus_session(pages_df, domain_cap_n=5, domain_grouping="etld"):
+            pass
+    assert cache_mgr.isEmpty(), "failed construction leaked a persisted frame"

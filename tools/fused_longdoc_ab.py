@@ -109,23 +109,39 @@ def main() -> None:
             "url", "scrubbed_text"
         )
 
-    # bit-identity on the fused output BEFORE timing (sorted row tuples)
-    small = bases[300].limit(3000).persist()
-    small.count()
+    # bit-identity on the fused output BEFORE timing (sorted row tuples),
+    # at BOTH doc lengths — long docs are the case under test, so the
+    # 4000-char corpus must be identity-checked too (r5 review finding)
     lcols = ["url"] + [f"hits_{lg}" for lg in LANGS] + ["lang_pred"]
-    a = sorted(map(tuple, lang_scores(small, "scrubbed_text", "url").select(lcols).collect()))
-    b = sorted(
-        map(tuple, lang_scores_rowwise(small, "scrubbed_text", "url").select(lcols).collect())
-    )
-    assert a == b, "lang forms diverge fused"
     rcols = ["url", "n_words", "top2_frac", "top3_frac", "dup_frac"]
-    c = sorted(map(tuple, repetition_signals(small, "scrubbed_text", "url").select(rcols).collect()))
-    d = sorted(
-        map(tuple, repetition_signals_sql(small, "scrubbed_text", "url").select(rcols).collect())
-    )
-    assert c == d, "repetition forms diverge fused"
-    small.unpersist()
-    print("bit-identity fused: lang explode==rowwise, rep arrow==sql", flush=True)
+    for L, base in bases.items():
+        small = base.limit(3000).persist()
+        small.count()
+        a = sorted(
+            map(tuple, lang_scores(small, "scrubbed_text", "url").select(lcols).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                lang_scores_rowwise(small, "scrubbed_text", "url").select(lcols).collect(),
+            )
+        )
+        assert a == b, f"lang forms diverge fused at {L} chars"
+        c = sorted(
+            map(
+                tuple,
+                repetition_signals(small, "scrubbed_text", "url").select(rcols).collect(),
+            )
+        )
+        d = sorted(
+            map(
+                tuple,
+                repetition_signals_sql(small, "scrubbed_text", "url").select(rcols).collect(),
+            )
+        )
+        assert c == d, f"repetition forms diverge fused at {L} chars"
+        small.unpersist()
+        print(f"bit-identity fused at {L} chars: lang explode==rowwise, rep arrow==sql", flush=True)
 
     def run(fn):
         t0 = time.monotonic()
