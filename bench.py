@@ -65,6 +65,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "minhash_jaccard_dedup",
     "duplicate_spans",
+    "decontaminate",
     "similarity_topk",
     "heuristic_stats",
     "token_stats",

@@ -1113,6 +1113,97 @@ def embedding_near_dup_pairs(
     )
 
 
+def _hashed_positioned_shingles120(
+    df: DataFrame, text_col: str, key: str, w: int
+) -> DataFrame:
+    """(id, pos, h, h2) rows: positioned shingles keyed by TWO independent
+    60-bit md5 slices (chars 1-15 and 16-30 of the hex digest) — the
+    action-grade 120-bit key shared by ``strip_duplicate_spans`` and
+    ``decontaminate``. Same single codegen stage as
+    ``_hashed_positioned_shingles``; +8 bytes/row buys a collision rate of
+    ~S^2/2^121 (see strip_duplicate_spans' contract)."""
+    return (
+        positioned_shingle_rows(df, text_col, key, w)
+        .withColumn("_m", F.md5("s"))
+        .withColumn("h", F.conv(F.substring("_m", 1, 15), 16, 10).cast("long"))
+        .withColumn("h2", F.conv(F.substring("_m", 16, 15), 16, 10).cast("long"))
+        .drop("s", "_m")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    contaminants: DataFrame,
+    *,
+    w: int = 13,
+    text_col: str = "text",
+    key: str = "doc_id",
+    cont_text_col: str | None = None,
+    mode: str = "drop",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or flag) every training document
+    that shares at least one w-token n-gram with a contaminant corpus —
+    the GPT-3/Gopher/Llama eval-overlap filter (13-gram overlap is the
+    published convention), the cross-corpus complement of this module's
+    within-corpus dedup family. The reference has no cross-corpus filter
+    (its nearest analog is per-run memoization, SURVEY.md §2.7 O4); this is
+    a training-data-pipeline op in its own right.
+
+    mode="drop" returns ``docs`` rows (schema unchanged) whose text shares
+    NO w-gram with any contaminant; mode="flag" returns ``docs`` plus
+    ``contaminated`` (boolean) and ``n_hits`` (number of shingle POSITIONS
+    in the doc whose w-gram occurs in the contaminant set — adjacent
+    overlapping positions each count, so a verbatim L-token quote scores
+    L-w+1). Docs with fewer than w tokens cannot contain a w-gram and are
+    never contaminated. Tokenizer = ``textanalysis.words`` (the ONE JVM
+    definition; python twin ``jvm_tokens``), same position/token space as
+    the rest of the span family.
+
+    Collision contract: ACTION-grade like ``strip_duplicate_spans`` — a
+    false n-gram match silently discards a clean training doc, so both
+    sides join on the 120-bit double md5 slice (~|grams_docs| x
+    |grams_cont| / 2^120 expected false drops: ~1e-8 corpus-wide even at
+    10^15 x 10^9 grams), never the 60-bit heuristic key.
+
+    Plan at 100 TB: the docs side is ONE codegen scan stage
+    (explode(sequence) shingles -> md5 -> broadcast hash join probe) — the
+    corpus never shuffles to discover its hits. The contaminant gram set
+    (eval suites: ~10^5-10^6 docs -> ~10^7-10^8 distinct grams at 16 B
+    each) is distinct-ed then broadcast; set ``broadcast=False`` when it
+    exceeds executor memory (falls back to a shuffle join on the 16 B
+    key — still only hashes shuffle, never text). Hit rows are a tiny
+    fraction of the corpus, so the count-per-doc aggregation and the
+    join back onto ``docs`` shuffle almost nothing (AQE turns the final
+    join into a broadcast when the contaminated-id set is small).
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    ctc = cont_text_col if cont_text_col is not None else text_col
+    cont_grams = (
+        _hashed_positioned_shingles120(
+            contaminants.select(F.lit(0).alias("_cid"), F.col(ctc)), ctc, "_cid", w
+        )
+        .select("h", "h2")
+        .distinct()
+    )
+    if broadcast:
+        cont_grams = F.broadcast(cont_grams)
+    hits = _hashed_positioned_shingles120(docs, text_col, key, w).join(
+        cont_grams, ["h", "h2"], "left_semi"
+    )
+    if mode == "drop":
+        return docs.join(
+            hits.select(F.col("id").alias(key)).distinct(), key, "left_anti"
+        )
+    per_doc = hits.groupBy("id").agg(F.count("*").alias("n_hits"))
+    return (
+        docs.join(per_doc.select(F.col("id").alias(key), "n_hits"), key, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
 def strip_duplicate_spans(
     df: DataFrame, text_col: str = "text", key: str = "doc_id", w: int = 8
 ) -> DataFrame:
@@ -1155,13 +1246,7 @@ def strip_duplicate_spans(
     form exists to avoid (measured 4.5x on the detection op)."""
     import pandas as pd
 
-    sh = (
-        positioned_shingle_rows(df, text_col, key, w)
-        .withColumn("_m", F.md5("s"))
-        .withColumn("h", F.conv(F.substring("_m", 1, 15), 16, 10).cast("long"))
-        .withColumn("h2", F.conv(F.substring("_m", 16, 15), 16, 10).cast("long"))
-        .drop("s", "_m")
-    )
+    sh = _hashed_positioned_shingles120(df, text_col, key, w)
 
     from pyspark.sql import Window
 

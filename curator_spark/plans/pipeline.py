@@ -155,6 +155,9 @@ def curate_corpus(
     domain_grouping: str = "host",
     token_budget: int | None = None,
     min_kept_words: int = 5,
+    contaminants: DataFrame | None = None,
+    contaminants_text_col: str = "text",
+    decon_w: int = 13,
     _persist_registry: list | None = None,
 ) -> DataFrame:
     """The full training-data curation recipe over a pages table, as ONE
@@ -163,6 +166,11 @@ def curate_corpus(
 
       1. quality filter (extract -> langid -> perplexity -> heuristics ->
          scrub -> keep/drop), keep side only;
+      1b. optional benchmark decontamination (``dedup.decontaminate``):
+         when a ``contaminants`` frame is given, every kept page sharing a
+         ``decon_w``-token n-gram of scrubbed text with it is dropped —
+         placed FIRST after the filter so contaminated docs never pay for
+         dedup/strip/cap work downstream;
       2. exact dedup + capped MinHash-LSH + Jaccard verify + connected
          components -> one survivor per duplicate cluster
          (``dedup.near_dup_survivors``);
@@ -208,6 +216,18 @@ def curate_corpus(
     kept = kept.persist()
     if _persist_registry is not None:
         _persist_registry.append(kept)
+    if contaminants is not None:
+        # after the persist: decontaminate consumes kept in two subtrees
+        # (gram probe + final anti join), so an unpersisted kept would
+        # re-execute the scoring UDF stage for each
+        kept = dedup.decontaminate(
+            kept,
+            contaminants,
+            w=decon_w,
+            text_col="scrubbed_text",
+            key="url",
+            cont_text_col=contaminants_text_col,
+        )
     surv = dedup.near_dup_survivors(
         kept, text_col="scrubbed_text", key="url", threshold=jaccard_threshold
     )

@@ -1032,21 +1032,16 @@ def _token_budget_sql(budget: int, k: int | None = None) -> str:
     """
 
 
-@_register("token_budget_pack", _token_budget_sql(20000))
-def q_token_budget_pack(spark, sf_dir):
-    """Data mixing under a token budget: best-quality docs first
-    (content-hash tie-break) until the running BPE-token sum hits the
-    budget — exact integer window sums, oracle-exact. GLOBAL window form
-    (the semantic spec); ``token_budget_pack_bucketed`` is the scale path."""
-    return textanalysis.token_budget_pack(_t(spark, sf_dir, "documents"), budget=20000)
-
-
 @_register("token_budget_pack_bucketed", _token_budget_sql(20000, k=4))
 def q_token_budget_pack_bucketed(spark, sf_dir):
-    """Scale form of token_budget_pack: budget//k tokens allocated per
-    content-hash bucket, running sum under partitionBy(bucket) — k sorted
-    partitions instead of one global sort. Oracle-exact (same integer
-    window sums per bucket)."""
+    """Data mixing under a token budget, scale form: budget//k tokens
+    allocated per content-hash bucket, running integer-exact BPE-token sums
+    under partitionBy(bucket) — k sorted partitions instead of one global
+    sort. Registry fold (r5, slot funds `decontaminate`): the GLOBAL window
+    form (`textanalysis.token_budget_pack`, the semantic spec, previously
+    its own oracle entry) is pinned == bucketed(k=1) in pytest
+    (test_token_budget_pack_bucketed_k1_equals_global) and its oracle SQL
+    is this same generator at k=None, so one entry evidences both."""
     return textanalysis.token_budget_pack_bucketed(
         _t(spark, sf_dir, "documents"), budget=20000, k=4
     )
@@ -1303,6 +1298,51 @@ def q_duplicate_spans(spark, sf_dir):
     islands merge (dedup.duplicate_spans; string-keyed spec twin pinned
     equal in pytest)."""
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), w=_DUP_SPAN_W)
+
+
+_DECON_W = 13  # the published eval-overlap convention (GPT-3/Gopher/Llama)
+
+_DECON_SQL = f"""
+    WITH t AS (SELECT doc_id, {{_SQL_TOKS}} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, md5(array_to_string(
+               w[CAST(i AS INTEGER):CAST(i + {_DECON_W - 1} AS INTEGER)], ' ')) AS m
+      FROM t, unnest(range(1, len(w) - {_DECON_W - 2})) AS u(i)
+      WHERE len(w) >= {_DECON_W}),
+    hs AS (SELECT doc_id,
+           CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h,
+           CAST(concat('0x', substr(m, 16, 15)) AS BIGINT) AS h2 FROM sh),
+    cont AS (SELECT DISTINCT h, h2 FROM hs WHERE doc_id % 7 = 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM hs JOIN cont USING (h, h2)
+             GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_hits, 0) > 0 AS contaminated,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    """.replace("{_SQL_TOKS}", _SQL_TOKS)
+
+
+@_register("decontaminate", _DECON_SQL)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (new r5): flag every training doc sharing
+    a 13-token n-gram with a contaminant corpus — the GPT-3/Gopher/Llama
+    eval-overlap filter, the cross-corpus complement of the dedup family
+    (the reference's nearest analog is per-run memoization, SURVEY §2.7
+    O4). Contaminants are synthesized deterministically as the doc_id%7==0
+    slice of `documents` standing in for an eval suite, so the entry
+    exercises both the self-overlap path (a benchmark doc present verbatim
+    in training data) and the genuine cross-doc path (near-verbatim
+    re-crawls of a benchmark doc — 6 such at sf0.01). Both engines join on
+    the IDENTICAL 120-bit double-md5-slice gram key (the strip_
+    duplicate_spans action-grade contract), so parity is exact even under
+    collisions; registry slot funded by the token_budget_pack k=1 fold.
+    Production mode="drop" is pinned in pytest as the filter identity of
+    this flag output."""
+    docs = _t(spark, sf_dir, "documents")
+    cont = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    return dedup.decontaminate(docs, cont, w=_DECON_W, mode="flag").select(
+        "doc_id", "contaminated", "n_hits"
+    )
 
 
 @_register(

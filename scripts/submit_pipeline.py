@@ -52,6 +52,13 @@ def main() -> None:
         "public-suffix list) so subdomain farms share one quota",
     )
     p.add_argument("--token-budget", type=int, default=None)
+    p.add_argument(
+        "--contaminants",
+        default=None,
+        help="parquet path of an eval/benchmark corpus (column: text); "
+        "curated pages sharing a 13-token n-gram with it are dropped "
+        "(dedup.decontaminate). Curate mode only.",
+    )
     args = p.parse_args()
 
     from curator_spark.functions.partitioning import DEFAULT_SALT
@@ -63,12 +70,18 @@ def main() -> None:
         from curator_spark.plans.pipeline import curate_corpus
 
         pages = spark.read.parquet(args.input)
+        cont = (
+            spark.read.parquet(args.contaminants)
+            if args.contaminants is not None
+            else None
+        )
         out = curate_corpus(
             pages,
             repartition_to=args.repartition,
             domain_cap_n=args.domain_cap,
             domain_grouping=args.domain_grouping,
             token_budget=args.token_budget,
+            contaminants=cont,
         )
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"curated_rows": spark.read.parquet(args.output).count()}))

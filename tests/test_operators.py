@@ -1236,3 +1236,103 @@ def test_census_stage_matches_python_twin(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == rules.char_census(t), t
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: cross-corpus w-gram overlap filter (new r5).
+# ---------------------------------------------------------------------------
+
+# 15 tokens: a contaminant long enough to yield three 13-gram positions
+_DECON_BASE = (
+    "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+)
+
+
+def _decon_model(doc_texts, cont_texts, w=13):
+    """Brute-force python model of decontaminate(mode='flag'):
+    n_hits per doc in jvm_tokens position space."""
+    from curator_spark.operators.textanalysis import jvm_tokens
+
+    cont = set()
+    for t in cont_texts:
+        toks = jvm_tokens(t)
+        for i in range(len(toks) - w + 1):
+            cont.add(tuple(toks[i : i + w]))
+    out = {}
+    for k, t in doc_texts.items():
+        toks = jvm_tokens(t) if t is not None else []
+        out[k] = sum(
+            1 for i in range(len(toks) - w + 1) if tuple(toks[i : i + w]) in cont
+        )
+    return out
+
+
+def test_decontaminate_flag_matches_python_model(spark):
+    from curator_spark.operators.textanalysis import jvm_tokens
+
+    base_toks = _DECON_BASE.split(" ")
+    assert len(base_toks) == 15
+    cont_texts = [_DECON_BASE, "alpha beta gamma " * 10, "too short"]
+    doc_texts = {
+        0: _DECON_BASE,  # verbatim benchmark doc: 3 positions, all hits
+        1: "intro words here " + _DECON_BASE + " trailing tail",  # embedded quote
+        2: " ".join(base_toks[:12]) + " DIVERGES now completely elsewhere",  # 12-token overlap only
+        3: "the quick brown fox",  # < w tokens: never contaminated
+        4: "\t " + _DECON_BASE,  # leading non-space ws: phantom token shifts positions
+        5: "",  # empty
+        6: None,  # null text
+        7: "alpha beta gamma alpha beta gamma alpha beta gamma alpha beta gamma alpha",
+    }
+    expect = _decon_model(doc_texts, cont_texts)
+    assert expect[0] == 3 and expect[1] >= 1 and expect[2] == 0 and expect[3] == 0
+    assert expect[4] >= 1 and expect[7] >= 1  # phantom-shifted + periodic both hit
+
+    docs = spark.createDataFrame(
+        [(k, t) for k, t in doc_texts.items()], "doc_id long, text string"
+    )
+    cont = spark.createDataFrame([(t,) for t in cont_texts], "text string")
+    got = {
+        r.doc_id: (r.contaminated, r.n_hits)
+        for r in dedup.decontaminate(docs, cont, w=13, mode="flag").collect()
+    }
+    assert got == {k: (v > 0, v) for k, v in expect.items()}
+
+    # phantom check is real: rules-space tokens would NOT shift doc 4
+    assert jvm_tokens(doc_texts[4])[0] == ""
+
+
+def test_decontaminate_drop_is_flag_filter_identity(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cont = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    flagged = dedup.decontaminate(docs, cont, w=13, mode="flag")
+    clean_ids = {r.doc_id for r in flagged.filter(~F.col("contaminated")).collect()}
+    dropped = dedup.decontaminate(docs, cont, w=13, mode="drop")
+    assert dropped.columns == docs.columns  # schema passthrough
+    assert {r.doc_id for r in dropped.collect()} == clean_ids
+    # sanity: every contaminant doc LONG ENOUGH to yield a 13-gram is gone
+    # (a <13-token contaminant contributes no grams and may survive);
+    # survivors exist
+    from curator_spark.operators.textanalysis import jvm_tokens
+
+    long_cont = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text").collect()
+        if r.text is not None and len(jvm_tokens(r.text)) >= 13
+    }
+    assert clean_ids and long_cont and not (long_cont & clean_ids)
+
+    # broadcast=False (shuffle-join fallback for oversized gram sets) is
+    # row-identical
+    got = {
+        (r.doc_id, r.contaminated, r.n_hits)
+        for r in dedup.decontaminate(
+            docs, cont, w=13, mode="flag", broadcast=False
+        ).collect()
+    }
+    assert got == {(r.doc_id, r.contaminated, r.n_hits) for r in flagged.collect()}
+
+
+def test_decontaminate_rejects_bad_mode(spark):
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.decontaminate(docs, docs, mode="purge")

@@ -238,3 +238,46 @@ def test_curate_corpus_session_owns_cache(spark, pages_df):
         with curate_corpus_session(pages_df, domain_cap_n=5, domain_grouping="etld"):
             pass
     assert cache_mgr.isEmpty(), "failed construction leaked a persisted frame"
+
+
+def test_curate_corpus_decontamination_stage(spark, pages_df):
+    """The optional decontamination stage (r5): contaminated kept pages
+    vanish from the curated corpus, and the stage is EXACTLY an up-front
+    anti join — feeding the recipe an input pre-filtered by the flagged
+    urls yields the identical corpus (every downstream stage sees the same
+    kept set either way)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators import dedup
+    from curator_spark.plans.pipeline import curate_corpus, kept_pages, quality_filter
+
+    kept = kept_pages(quality_filter(pages_df))
+    # contaminants = verbatim scrubbed text of a deterministic slice of
+    # kept pages long enough to yield 13-grams (an "eval suite" whose docs
+    # appear verbatim in the training crawl)
+    cont = (
+        kept.filter(F.size(F.split(F.trim("scrubbed_text"), r"\s+")) >= 13)
+        .orderBy("url")
+        .limit(3)
+        .select(F.col("scrubbed_text").alias("text"))
+    )
+    flagged = dedup.decontaminate(
+        kept,
+        cont,
+        w=13,
+        text_col="scrubbed_text",
+        key="url",
+        cont_text_col="text",
+        mode="flag",
+    )
+    bad_urls = {r.url for r in flagged.filter("contaminated").collect()}
+    assert len(bad_urls) >= 3  # at minimum the three verbatim sources
+
+    out = {
+        (r.url, r.text)
+        for r in curate_corpus(pages_df, contaminants=cont).collect()
+    }
+    assert out and not {u for (u, _) in out} & bad_urls
+    pre = pages_df.filter(~F.col("url").isin(list(bad_urls)))
+    expect = {(r.url, r.text) for r in curate_corpus(pre).collect()}
+    assert out == expect

@@ -301,3 +301,18 @@ def test_strip_duplicate_spans_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(h" in plan
     assert "MapInPandas" in plan
+
+
+def test_decontaminate_probes_hits_via_broadcast_semi_join(spark):
+    from curator_spark.operators import dedup
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    cont = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    plan = _plan(dedup.decontaminate(docs, cont, w=13, mode="flag"))
+    # hit discovery: the corpus-side shingle stage probes the broadcast
+    # contaminant gram set in ONE LeftSemi broadcast hash join — the corpus
+    # must never shuffle to find its hits (the 100 TB shape)
+    sem = _detail(plan, "BroadcastHashJoin")
+    assert "LeftSemi" in sem, plan
+    # codegen shingles only — no interpreted lambda anywhere in the plan
+    assert "lambdafunction" not in plan.lower()
