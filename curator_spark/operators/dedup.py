@@ -1179,6 +1179,15 @@ def decontaminate(
     """
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if mode == "flag":
+        # same reserved-OUTPUT-name guard as domain_cap (r4 advisor class):
+        # a pre-existing column would make the join-back ambiguous downstream
+        clash = {"contaminated", "n_hits"} & set(docs.columns)
+        if clash:
+            raise ValueError(
+                f"decontaminate(mode='flag') adds columns {sorted(clash)} "
+                "which already exist on the input — rename them first"
+            )
     ctc = cont_text_col if cont_text_col is not None else text_col
     cont_grams = (
         _hashed_positioned_shingles120(

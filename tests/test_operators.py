@@ -1336,3 +1336,17 @@ def test_decontaminate_rejects_bad_mode(spark):
     docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup.decontaminate(docs, docs, mode="purge")
+
+
+def test_decontaminate_flag_guards_reserved_output_names(spark):
+    # same reserved-output-name class the r4 advisor caught on domain_cap:
+    # flag mode must refuse inputs already carrying its output columns
+    docs = spark.createDataFrame(
+        [(0, "a", 1)], "doc_id long, text string, n_hits long"
+    )
+    with pytest.raises(ValueError, match="n_hits"):
+        dedup.decontaminate(docs, docs.select("doc_id", "text"), mode="flag")
+    # drop mode is schema-passthrough and unaffected
+    assert dedup.decontaminate(
+        docs, docs.select("doc_id", "text"), mode="drop"
+    ).columns == ["doc_id", "text", "n_hits"]
