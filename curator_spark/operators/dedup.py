@@ -1163,7 +1163,7 @@ def decontaminate(
     Collision contract: ACTION-grade like ``strip_duplicate_spans`` — a
     false n-gram match silently discards a clean training doc, so both
     sides join on the 120-bit double md5 slice (~|grams_docs| x
-    |grams_cont| / 2^120 expected false drops: ~1e-8 corpus-wide even at
+    |grams_cont| / 2^120 expected false drops: ~8e-13 corpus-wide even at
     10^15 x 10^9 grams), never the 60-bit heuristic key.
 
     Plan at 100 TB: the docs side is ONE codegen scan stage

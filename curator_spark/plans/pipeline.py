@@ -227,7 +227,13 @@ def curate_corpus(
             text_col="scrubbed_text",
             key="url",
             cont_text_col=contaminants_text_col,
-        )
+        ).persist()
+        # ... and the decontaminated frame feeds the SAME ~6 downstream
+        # jobs that motivated persisting kept — unpersisted, the full
+        # 13-gram probe (explode + double-md5 + contaminant broadcast +
+        # anti join) re-executes per job (r5 self-review finding)
+        if _persist_registry is not None:
+            _persist_registry.append(kept)
     surv = dedup.near_dup_survivors(
         kept, text_col="scrubbed_text", key="url", threshold=jaccard_threshold
     )

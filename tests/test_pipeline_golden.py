@@ -281,3 +281,14 @@ def test_curate_corpus_decontamination_stage(spark, pages_df):
     pre = pages_df.filter(~F.col("url").isin(list(bad_urls)))
     expect = {(r.url, r.text) for r in curate_corpus(pre).collect()}
     assert out == expect
+
+    # the decontaminated intermediate is persisted (it feeds ~6 downstream
+    # jobs — r5 self-review finding) and the session wrapper owns BOTH pins
+    from curator_spark.plans.pipeline import curate_corpus_session
+
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    with curate_corpus_session(pages_df, contaminants=cont) as corpus:
+        assert {(r.url, r.text) for r in corpus.collect()} == out
+        assert not cache_mgr.isEmpty()
+    assert cache_mgr.isEmpty(), "session left a persisted frame behind"
