@@ -1350,3 +1350,43 @@ def test_decontaminate_flag_guards_reserved_output_names(spark):
     assert dedup.decontaminate(
         docs, docs.select("doc_id", "text"), mode="drop"
     ).columns == ["doc_id", "text", "n_hits"]
+
+
+def test_decontaminate_matches_python_model_on_random_corpora(spark):
+    """Randomized adversarial check of decontaminate: 10 seeded corpora
+    with TINY vocabularies (dense overlap between docs and contaminants,
+    docs of 0..20 tokens incl. blanks and len<w) batched into ONE
+    docs/contaminants DataFrame pair with per-corpus token prefixes
+    (cross-corpus gram collision impossible), flag mode compared per doc
+    against the brute-force python model, drop mode against its filter."""
+    import random
+
+    W = 3
+    rng = random.Random(0xDEC0)
+    doc_rows, cont_texts = [], []
+    doc_texts = {}
+    next_id = 0
+    for corpus in range(10):
+        vocab = [f"c{corpus}_t{j}" for j in range(rng.randint(3, 6))]
+        for _ in range(rng.randint(1, 4)):
+            cont_texts.append(
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+            )
+        for _ in range(rng.randint(4, 16)):
+            n = rng.choice([0, 1, W - 1, W] + [rng.randint(0, 20) for _ in range(4)])
+            t = " ".join(rng.choice(vocab) for _ in range(n))
+            doc_rows.append((next_id, t))
+            doc_texts[next_id] = t
+            next_id += 1
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    cont = spark.createDataFrame([(t,) for t in cont_texts], "text string")
+
+    expect = _decon_model(doc_texts, cont_texts, w=W)
+    got = {
+        r.doc_id: (r.contaminated, r.n_hits)
+        for r in dedup.decontaminate(docs, cont, w=W, mode="flag").collect()
+    }
+    assert got == {k: (v > 0, v) for k, v in expect.items()}
+    assert any(v for v, _ in got.values()) and not all(v for v, _ in got.values())
+    dropped = {r.doc_id for r in dedup.decontaminate(docs, cont, w=W, mode="drop").collect()}
+    assert dropped == {k for k, v in expect.items() if v == 0}

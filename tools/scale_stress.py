@@ -231,13 +231,65 @@ def run_span_skew(spark) -> None:
     )
 
 
+def run_decon_skew(spark) -> None:
+    """Adversarial shapes for decontaminate (r5): a ~3.8M-token mega-doc
+    (one input row explodes to millions of gram rows inside ONE task, and
+    — being built from the whole base corpus — it hits nearly every
+    contaminant gram), and the full-corpus worst case at BIG replication
+    (contaminants = every doc: the self-join-equivalent gram-set size,
+    broadcast disabled so the shuffle fallback carries it)."""
+    from curator_spark.operators import dedup as dd
+
+    d = megadoc_dir(spark)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    cont = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 10**9)).select(
+        "doc_id", "text"
+    )
+    flagged = dd.decontaminate(docs, cont, w=13, mode="flag")
+    wall, rows = _timed_noop(flagged)
+    mega = flagged.filter(F.col("doc_id") == 10**9).select("n_hits").collect()[0]
+    print(
+        json.dumps(
+            {
+                "stress": "decon_megadoc",
+                "cpus": CPUS,
+                "wall_sec": wall,
+                "rows": rows,
+                "mega_n_hits": mega["n_hits"],
+            }
+        ),
+        flush=True,
+    )
+
+    d = replicated_docs_dir(spark, BIG)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    worst = dd.decontaminate(
+        docs, docs.select("doc_id", "text"), w=13, mode="flag", broadcast=False
+    )
+    wall, rows = _timed_noop(worst)
+    n_cont = worst.filter("contaminated").count()
+    print(
+        json.dumps(
+            {
+                "stress": f"decon_worstcase_x{BIG}",
+                "cpus": CPUS,
+                "wall_sec": wall,
+                "rows": rows,
+                "contaminated": n_cont,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     from curator_spark.session import get_spark
 
     span_only = os.environ.get("STRESS_MODE") == "span_skew"
+    decon_only = os.environ.get("STRESS_MODE") == "decon_skew"
 
     # flagship first (own pinned subprocesses; no session held here)
-    if not span_only and not os.environ.get("STRESS_SKIP_FLAGSHIP"):
+    if not (span_only or decon_only) and not os.environ.get("STRESS_SKIP_FLAGSHIP"):
         for rep in (SMALL, BIG):
             for cores in (16, 32):
                 run_flagship(rep, cores)
@@ -249,6 +301,8 @@ def main() -> None:
     )
     if span_only:
         run_span_skew(spark)
+    elif decon_only:
+        run_decon_skew(spark)
     else:
         for k in (SMALL, BIG):
             d = replicated_docs_dir(spark, k)
