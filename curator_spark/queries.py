@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import rules
-from .functions import public_suffix
+from .functions import public_suffix, url_canonical
 from .operators import dedup, similarity, textanalysis
 
 Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1206,24 +1206,70 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+# Synthesized DIRTY url — deterministic per (doc_id, source), lighting every
+# canonical_url branch: default/non-default ports, userinfo, uppercase
+# scheme+host, fragments, tracking params (incl. last-param and only-param
+# positions), trailing host dot with and without a port, IPv6 literal,
+# scheme-less passthrough, NULL. Spark twin: _dirty_url_col below.
+_DIRTY_URL_CASE_SQL = (
+    f"CASE WHEN doc_id % 7 = 0 THEN 'HTTP://WWW.' || upper(source) || "
+    f"'.COM:80/A/' || {_SYNTH_U} || '?utm_source=x&id=' || {_SYNTH_U} "
+    f"WHEN doc_id % 7 = 1 THEN 'https://u:p@' || source || '.org:443/p/' "
+    f"|| {_SYNTH_U} || '#frag' "
+    f"WHEN doc_id % 7 = 2 THEN 'http://' || source || '.net/p?gclid=1&q=' "
+    f"|| CAST(doc_id % 5 AS VARCHAR) "
+    f"WHEN doc_id % 7 = 3 THEN source || '.com/plain/' || {_SYNTH_U} "
+    f"WHEN doc_id % 7 = 4 THEN NULL "
+    f"WHEN doc_id % 7 = 5 THEN 'https://[2001:db8::' || "
+    f"CAST(doc_id % 3 AS VARCHAR) || ']:8080/x?a=1&utm_medium=m&b=2' "
+    f"ELSE 'http://' || source || '.com.:8080/?utm_campaign=' || {_SYNTH_U} END"
+)
+
+
+def _dirty_url_col() -> F.Column:
+    """Spark twin of ``_DIRTY_URL_CASE_SQL``, branch for branch."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    m = did % 7
+
+    def a(*cols):
+        return F.concat(*[F.lit(c) if isinstance(c, str) else c for c in cols])
+
+    return (
+        F.when(m == 0, a("HTTP://WWW.", F.upper("source"), ".COM:80/A/", s, "?utm_source=x&id=", s))
+        .when(m == 1, a("https://u:p@", F.col("source"), ".org:443/p/", s, "#frag"))
+        .when(m == 2, a("http://", F.col("source"), ".net/p?gclid=1&q=", (did % 5).cast("string")))
+        .when(m == 3, a(F.col("source"), ".com/plain/", s))
+        .when(m == 4, F.lit(None).cast("string"))
+        .when(m == 5, a("https://[2001:db8::", (did % 3).cast("string"), "]:8080/x?a=1&utm_medium=m&b=2"))
+        .otherwise(a("http://", F.col("source"), ".com.:8080/?utm_campaign=", s))
+    )
+
+
 @_register(
     "scalar_funcs",
-    """
+    f"""
+    WITH d AS (SELECT *, {_DIRTY_URL_CASE_SQL} AS dirty FROM documents)
     SELECT doc_id,
            upper(source) AS src_upper,
            substr(text, 1, 20) AS head20,
            regexp_extract(text, '([a-z]+)', 1) AS first_word,
            replace(substr(text, 1, 40), ' ', '_') AS head_snake,
            length(trim(text)) AS trimmed_len,
-           CAST(round(n_chars / 4.0, 2) AS DOUBLE) AS est_tokens
-    FROM documents
+           CAST(round(n_chars / 4.0, 2) AS DOUBLE) AS est_tokens,
+           {url_canonical.canonical_url_sql('dirty')} AS canon_url
+    FROM d
     """,
 )
 def q_scalar_funcs(spark, sf_dir):
     """§2.8 scalar-function surface (P7 post-processing analog): slice,
     regex extract, replace, trim, case, arithmetic incl. the len/4 token
-    estimate (openai_online_request_processor.py:211)."""
-    d = _t(spark, sf_dir, "documents")
+    estimate (openai_online_request_processor.py:211). r5 adds
+    ``canon_url`` — `functions.url_canonical.canonical_url` over a
+    synthesized dirty url lighting every normalization branch (the
+    C4/CCNet canonical-URL-identity step; python twin + DuckDB generator
+    pinned three-engine-equal in test_url_canonical)."""
+    d = _t(spark, sf_dir, "documents").withColumn("dirty", _dirty_url_col())
     return d.select(
         "doc_id",
         F.upper("source").alias("src_upper"),
@@ -1232,6 +1278,7 @@ def q_scalar_funcs(spark, sf_dir):
         F.regexp_replace(F.substring("text", 1, 40), r" ", "_").alias("head_snake"),
         F.length(F.trim(F.col("text"))).cast("long").alias("trimmed_len"),
         F.round(F.col("n_chars") / F.lit(4.0), 2).alias("est_tokens"),
+        url_canonical.canonical_url(F.col("dirty")).alias("canon_url"),
     )
 
 

@@ -1,0 +1,104 @@
+"""canonical_url: hand-case contract + three-engine parity (Column /
+python twin / DuckDB generator), same pinning style as test_public_suffix.
+The registry-level parity (the `canon_url` column folded into
+`scalar_funcs`) is additionally driver-checked via the oracle."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.functions.url_canonical import (
+    canonical_url,
+    canonical_url_py,
+    canonical_url_sql,
+)
+
+HAND = [
+    (None, None),
+    ("", ""),
+    ("   ", ""),
+    ("plain text", "plain text"),  # no scheme -> passthrough
+    ("example.com/foo#bar", "example.com/foo"),
+    ("HTTP://X.COM", "http://x.com/"),  # empty path -> '/'
+    ("http://a.com:80/", "http://a.com/"),  # default port stripped
+    ("https://a.com:80/", "https://a.com:80/"),  # :80 NOT default for https
+    ("https://a.com:443/p", "https://a.com/p"),
+    (
+        "HTTPS://User:Pw@WWW.Example.COM.:443/Path/Page?a=1&utm_source=x&b=2#frag",
+        "https://www.example.com/Path/Page?a=1&b=2",  # path case preserved
+    ),
+    ("http://EXAMPLE.com:8080?x=1", "http://example.com:8080/?x=1"),
+    ("http://[2001:DB8::1]:80/x", "http://[2001:db8::1]/x"),  # v6 + port
+    ("http://x.com?utm_source=1", "http://x.com/"),  # query collapses away
+    ("http://x.com/p?gclid=abc&fbclid=d&q=1", "http://x.com/p?q=1"),
+    ("ftp://A.B:21/C", "ftp://a.b:21/C"),  # unknown scheme keeps its port
+    ("mailto:a@b.com", "mailto:a@b.com"),  # no '://' -> passthrough
+    ("http://a.com.", "http://a.com/"),  # trailing host dot
+    ("http://a.com.:8080/", "http://a.com.:8080/"),  # dot kept behind a port
+    ("http://x.com/p?utm=1&utm_a=2", "http://x.com/p?utm=1"),  # utm_ prefix only
+    ("http://x.com/p?a=1&utm_b=&c=2", "http://x.com/p?a=1&c=2"),
+    ("  http://T.com/Q?fbclid=zz  ", "http://t.com/Q"),
+    ("http://x.com/p?a=1#f?utm_source=2", "http://x.com/p?a=1"),  # frag first
+    ("http://x.com#f", "http://x.com/"),
+]
+
+
+def test_hand_cases_python_twin():
+    for url, want in HAND:
+        assert canonical_url_py(url) == want, url
+
+
+def test_three_engine_parity(spark):
+    urls = [u for u, _ in HAND] + [
+        "scheme+x-y://HOST/p",
+        "http://x.com/p?&a=1",
+        "http://x.com/p??a=1",
+        "http://x.com/%41?A=B",
+        "https://x.com:8443/p?utm_campaign=c",
+        "http://u@h.com/p",
+        "http://x.com/p?utm_a=1&utm_b=2&utm_c=3",
+        "https://a.b.c.example.co.uk:443/deep/path/?utm_source=s&x=y&gclid=g",
+        "http://host/path?q=v%20al&utm_term=t",
+        "//protocol.relative/x",  # no scheme -> passthrough
+        "http:///pathonly",  # empty authority
+        "http://:80/x",  # port-only authority (degenerate)
+    ]
+    py = [canonical_url_py(u) for u in urls]
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + ("NULL" if u is None else "'" + u.replace("'", "''") + "'") + ")"
+        for u in urls
+    )
+    dk = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {canonical_url_sql('u')} FROM (VALUES {vals}) t(u)"
+        ).fetchall()
+    ]
+
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, u string")
+    sp = [
+        r.c
+        for r in df.select("i", canonical_url(F.col("u")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    for u, a, b, c in zip(urls, py, dk, sp):
+        assert a == b == c, (u, a, b, c)
+
+
+def test_canonical_url_is_idempotent_and_codegen_only(spark):
+    # canonical output canonicalizes to itself (fixpoint) for scheme'd urls
+    for url, want in HAND:
+        if want and "://" in (want or ""):
+            assert canonical_url_py(want) == want, want
+    # pure codegen: no interpreted lambda / python eval in the plan
+    df = spark.range(4).select(
+        F.concat(F.lit("HTTP://A"), F.col("id").cast("string"), F.lit(".COM:80/p?utm_source=x")).alias("u")
+    )
+    plan = df.select(canonical_url(F.col("u")).alias("c"))._jdf.queryExecution().toString()
+    assert "lambdafunction" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
