@@ -1213,6 +1213,48 @@ def decontaminate(
     )
 
 
+def canonical_url_dedup(
+    df: DataFrame, url_col: str = "url", ts_col: str | None = None
+) -> DataFrame:
+    """URL-identity dedup: keep ONE row per CANONICAL url
+    (``functions.url_canonical`` — lowercase scheme/host, fragment/
+    userinfo/default-port/tracking-param stripping), the cheap first pass
+    a crawl pipeline runs BEFORE any content hashing — re-crawls and
+    tracking-decorated share-links collapse here for the cost of one
+    16 B-keyed shuffle, never reaching extraction or MinHash.
+
+    Keep rule (pure function of row content, reshuffle/retry-
+    deterministic): newest ``ts_col`` first when given (re-crawls keep the
+    freshest copy), then lexicographically smallest ``url_col``. Rows
+    whose ``url_col`` is NULL have no URL identity and pass through
+    untouched. Output schema = input schema.
+
+    Plan: one hash shuffle on the canonical key; the rank-1 filter rides
+    Spark's WindowGroupLimit pushdown (same shape as ``domain_cap``,
+    plan-pinned there) so each map task ships at most one row per
+    canonical url per split — a boilerplate URL duplicated 10^6 times
+    ships ~1 row per task, not 10^6 rows to one reducer."""
+    from pyspark.sql import Window
+
+    from ..functions.url_canonical import canonical_url
+
+    if "_canon" in df.columns or "_rk1" in df.columns:
+        raise ValueError("input already has a reserved _canon/_rk1 column")
+    null_rows = df.filter(F.col(url_col).isNull())
+    order = [F.col(url_col).asc()]
+    if ts_col is not None:
+        order = [F.col(ts_col).desc_nulls_last()] + order
+    w = Window.partitionBy("_canon").orderBy(*order)
+    kept = (
+        df.filter(F.col(url_col).isNotNull())
+        .withColumn("_canon", canonical_url(F.col(url_col)))
+        .withColumn("_rk1", F.row_number().over(w))
+        .filter(F.col("_rk1") == 1)
+        .drop("_canon", "_rk1")
+    )
+    return kept.unionByName(null_rows)
+
+
 def strip_duplicate_spans(
     df: DataFrame, text_col: str = "text", key: str = "doc_id", w: int = 8
 ) -> DataFrame:

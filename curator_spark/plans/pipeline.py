@@ -158,12 +158,18 @@ def curate_corpus(
     contaminants: DataFrame | None = None,
     contaminants_text_col: str = "text",
     decon_w: int = 13,
+    url_dedup: bool = False,
     _persist_registry: list | None = None,
 ) -> DataFrame:
     """The full training-data curation recipe over a pages table, as ONE
     composed declarative plan — what a user of the reference would run
     end-to-end (its per-stage analogs are documented on each operator):
 
+      0. optional canonical-URL dedup (``dedup.canonical_url_dedup``,
+         ``url_dedup=True``): re-crawls and tracking-decorated variants of
+         the same page collapse to the freshest copy BEFORE the expensive
+         extraction/scoring stage ever sees them — the cheapest dedup pass
+         runs first;
       1. quality filter (extract -> langid -> perplexity -> heuristics ->
          scrub -> keep/drop), keep side only;
       1b. optional benchmark decontamination (``dedup.decontaminate``):
@@ -205,6 +211,8 @@ def curate_corpus(
     from ..operators import dedup
     from ..operators import textanalysis as ta
 
+    if url_dedup:
+        pages = dedup.canonical_url_dedup(pages, url_col="url", ts_col="warc_ts")
     kept = kept_pages(quality_filter(pages, repartition_to=repartition_to))
     # The kept intermediate feeds MANY downstream subtrees (exact-dedup agg,
     # survivor semi-join, LSH candidates, Jaccard verify, the corpus join,

@@ -53,6 +53,13 @@ def main() -> None:
     )
     p.add_argument("--token-budget", type=int, default=None)
     p.add_argument(
+        "--url-dedup",
+        action="store_true",
+        help="collapse re-crawls/tracking-variant urls to one page per "
+        "CANONICAL url (freshest warc_ts wins) before extraction "
+        "(dedup.canonical_url_dedup). Curate mode only.",
+    )
+    p.add_argument(
         "--contaminants",
         default=None,
         help="parquet path of an eval/benchmark corpus (column: text); "
@@ -82,6 +89,7 @@ def main() -> None:
             domain_grouping=args.domain_grouping,
             token_budget=args.token_budget,
             contaminants=cont,
+            url_dedup=args.url_dedup,
         )
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"curated_rows": spark.read.parquet(args.output).count()}))

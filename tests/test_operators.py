@@ -1390,3 +1390,48 @@ def test_decontaminate_matches_python_model_on_random_corpora(spark):
     assert any(v for v, _ in got.values()) and not all(v for v, _ in got.values())
     dropped = {r.doc_id for r in dedup.decontaminate(docs, cont, w=W, mode="drop").collect()}
     assert dropped == {k for k, v in expect.items() if v == 0}
+
+
+def test_canonical_url_dedup_keep_rule(spark):
+    import datetime as dt
+
+    T = dt.datetime
+    rows = [
+        # three variants of ONE canonical url — newest ts wins
+        ("HTTP://A.com:80/p?utm_source=x", T(2024, 1, 1), "old"),
+        ("http://a.com/p", T(2024, 3, 1), "newest"),
+        ("http://a.com/p#frag", T(2024, 2, 1), "mid"),
+        # ts tie -> lexicographically smallest url wins
+        ("http://b.com/q?utm_medium=m", T(2024, 1, 1), "b-utm"),
+        ("http://B.com/q", T(2024, 1, 1), "b-plain"),  # canon-equal, smaller? 'http://B...' < 'http://b...'
+        # distinct canonical urls pass through
+        ("http://c.com/r", T(2024, 1, 1), "c"),
+        # NULL url rows have no identity: ALL pass through
+        (None, T(2024, 1, 1), "n1"),
+        (None, T(2024, 2, 1), "n2"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, tag string")
+    got = {r.tag for r in dedup.canonical_url_dedup(df, ts_col="warc_ts").collect()}
+    # the keep rule, spelled out: newest ts wins the a-group; ts tie on the
+    # b-group -> min url string wins
+    assert "newest" in got and "old" not in got and "mid" not in got
+    assert ("http://B.com/q" < "http://b.com/q?utm_medium=m") == ("b-plain" in got)
+    assert {"c", "n1", "n2"} <= got and len(got) == 5
+
+    # schema passthrough + determinism under repartition
+    assert dedup.canonical_url_dedup(df, ts_col="warc_ts").columns == df.columns
+    again = {
+        r.tag
+        for r in dedup.canonical_url_dedup(df.repartition(7), ts_col="warc_ts").collect()
+    }
+    assert again == got
+
+    # without ts_col: min url alone decides
+    got2 = {r.tag for r in dedup.canonical_url_dedup(df).collect()}
+    assert ("HTTP://A.com:80/p?utm_source=x" == min(
+        "HTTP://A.com:80/p?utm_source=x", "http://a.com/p", "http://a.com/p#frag"
+    )) == ("old" in got2)
+
+    # reserved internal names refused
+    with pytest.raises(ValueError):
+        dedup.canonical_url_dedup(df.withColumn("_canon", F.lit(1)))

@@ -292,3 +292,31 @@ def test_curate_corpus_decontamination_stage(spark, pages_df):
         assert {(r.url, r.text) for r in corpus.collect()} == out
         assert not cache_mgr.isEmpty()
     assert cache_mgr.isEmpty(), "session left a persisted frame behind"
+
+
+def test_curate_corpus_url_dedup_stage(spark, pages_df):
+    """Stage 0 (r5): dirtying the input with tracking-decorated, fragment-
+    bearing re-crawl variants of existing pages and enabling url_dedup
+    yields the clean input's corpus TEXTS exactly — the variants collapse
+    to one page per canonical url before extraction."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.plans.pipeline import curate_corpus
+
+    clean_texts = sorted(r.text for r in curate_corpus(pages_df).collect())
+
+    # variants: same html (same content), decorated urls, OLDER ts so the
+    # pristine original row survives the keep rule and the corpus is
+    # byte-identical to the clean run
+    variants = pages_df.limit(20).select(
+        F.concat(F.col("url"), F.lit("?utm_source=feed&utm_medium=rss#frag")).alias("url"),
+        (F.col("warc_ts") - F.expr("INTERVAL 10 DAYS")).alias("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+    dirty = pages_df.unionByName(variants.select(*pages_df.columns))
+    out = sorted(
+        r.text for r in curate_corpus(dirty, url_dedup=True).collect()
+    )
+    assert out == clean_texts
