@@ -316,3 +316,20 @@ def test_decontaminate_probes_hits_via_broadcast_semi_join(spark):
     assert "LeftSemi" in sem, plan
     # codegen shingles only — no interpreted lambda anywhere in the plan
     assert "lambdafunction" not in plan.lower()
+
+
+def test_canonical_url_dedup_keeps_group_limit_pushdown(spark):
+    """canonical_url_dedup's rank-1 filter must ride WindowGroupLimit: a
+    boilerplate url duplicated across a whole split ships ~1 row per map
+    task, never its full copy set into one window partition."""
+    from curator_spark.operators import dedup
+
+    pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "concat('HTTP://D', CAST(doc_id % 7 AS STRING), '.org/p?utm_source=', doc_id) AS url",
+        "CAST('2024-01-01' AS TIMESTAMP) AS warc_ts",
+        "text",
+    )
+    plan = _plan(dedup.canonical_url_dedup(pages, ts_col="warc_ts"))
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+    assert "lambdafunction" not in plan.lower()
