@@ -979,6 +979,13 @@ def q_deterministic_sample(spark, sf_dir):
 # Shared quality-score CTE chain (t -> s -> f(doc_id, score)) — ONE SQL
 # definition of the heuristic score, reused by both budget-pack oracles and
 # the weighted-sample oracle so the score formula cannot drift between them.
+def _score_ctes(table: str = "documents") -> str:
+    """The heuristic-score CTE fragment over an arbitrary input CTE/table
+    (r5: the composed recipe oracle scores its url-deduped, decontaminated
+    subset, not raw `documents`)."""
+    return _SCORE_CTES.replace("FROM documents)", f"FROM {table})", 1)
+
+
 _SCORE_CTES = f"""
     t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
     s AS (
@@ -1840,6 +1847,40 @@ def q_curate_corpus(spark, sf_dir):
     return out.select("url", "lang_pred", "text")
 
 
+# Colliding dirty url for the composed recipe's stage-0 url dedup: every
+# group of 3 consecutive doc_ids shares ONE canonical url behind three
+# variants (clean / uppercase+default-port+utm / fragment); doc_id%31==0
+# rows get NULL (no URL identity -> pass through). Spark twin below.
+_COLLIDE_B = "CAST(doc_id - doc_id % 3 AS VARCHAR)"
+_COLLIDE_URL_CASE_SQL = (
+    f"CASE WHEN doc_id % 31 = 0 THEN NULL "
+    f"WHEN doc_id % 3 = 0 THEN 'http://s' || CAST((doc_id - doc_id % 3) % 97 AS VARCHAR) "
+    f"|| '.example.org/p/' || {_COLLIDE_B} "
+    f"WHEN doc_id % 3 = 1 THEN 'HTTP://S' || CAST((doc_id - doc_id % 3) % 97 AS VARCHAR) "
+    f"|| '.EXAMPLE.ORG:80/p/' || {_COLLIDE_B} || '?utm_source=x' "
+    f"ELSE 'http://s' || CAST((doc_id - doc_id % 3) % 97 AS VARCHAR) "
+    f"|| '.example.org/p/' || {_COLLIDE_B} || '#f' END"
+)
+
+
+def _collide_url_col() -> F.Column:
+    """Spark twin of ``_COLLIDE_URL_CASE_SQL``, branch for branch."""
+    did = F.col("doc_id")
+    b = did - did % 3
+    bs, hs = b.cast("string"), (b % 97).cast("string")
+    m = did % 3
+
+    def a(*cols):
+        return F.concat(*[F.lit(c) if isinstance(c, str) else c for c in cols])
+
+    return (
+        F.when(did % 31 == 0, F.lit(None).cast("string"))
+        .when(m == 0, a("http://s", hs, ".example.org/p/", bs))
+        .when(m == 1, a("HTTP://S", hs, ".EXAMPLE.ORG:80/p/", bs, "?utm_source=x"))
+        .otherwise(a("http://s", hs, ".example.org/p/", bs, "#f"))
+    )
+
+
 def _curate_corpus_exact_sql(
     min_score: int = 4,
     span_w: int = 8,
@@ -1847,6 +1888,7 @@ def _curate_corpus_exact_sql(
     cap: int = 3,
     budget: int = 12000,
     k: int = 4,
+    decon_w: int = 13,
 ) -> str:
     """End-to-end oracle for the composed curation recipe — every stage is
     the SAME (already oracle-verified) SQL fragment as its per-operator
@@ -1861,10 +1903,38 @@ def _curate_corpus_exact_sql(
     quota = budget // k
     wm1 = span_w - 1
     return f"""
-    WITH RECURSIVE {_SCORE_CTES},
+    WITH RECURSIVE u0 AS (
+      SELECT doc_id, source, text, {_COLLIDE_URL_CASE_SQL} AS url0
+      FROM documents),
+    u0k AS (
+      SELECT doc_id, source, text,
+             row_number() OVER (
+               PARTITION BY {url_canonical.canonical_url_sql('url0')}
+               ORDER BY url0) AS rk0
+      FROM u0 WHERE url0 IS NOT NULL),
+    base AS MATERIALIZED (
+      SELECT doc_id, source, text FROM u0k WHERE rk0 = 1
+      UNION ALL
+      SELECT doc_id, source, text FROM u0 WHERE url0 IS NULL),
+    dsh AS (
+      SELECT doc_id, md5(array_to_string(
+               w[CAST(i AS INTEGER):CAST(i + {decon_w - 1} AS INTEGER)], ' ')) AS m
+      FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM base) bt,
+           unnest(range(1, len(w) - {decon_w - 2})) AS u(i)
+      WHERE len(w) >= {decon_w}),
+    dhh AS (SELECT doc_id,
+            CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h,
+            CAST(concat('0x', substr(m, 16, 15)) AS BIGINT) AS h2 FROM dsh),
+    dcont AS (SELECT DISTINCT h, h2 FROM dhh WHERE doc_id % 7 = 0),
+    dbad AS (SELECT DISTINCT doc_id FROM dhh JOIN dcont USING (h, h2)),
+    docs0 AS MATERIALIZED (
+      SELECT b.doc_id, b.source, b.text
+      FROM base b LEFT JOIN dbad ON b.doc_id = dbad.doc_id
+      WHERE dbad.doc_id IS NULL),
+    {_score_ctes("docs0")},
     kept AS (
       SELECT d.doc_id, d.source, d.text
-      FROM documents d JOIN f ON d.doc_id = f.doc_id
+      FROM docs0 d JOIN f ON d.doc_id = f.doc_id
       WHERE f.score >= {min_score}),
     {_capped_lsh_jaccard_ctes("kept")},
     edges AS (
@@ -1967,18 +2037,30 @@ def _curate_corpus_exact_sql(
 @_register("curate_corpus_exact", _curate_corpus_exact_sql())
 def q_curate_corpus_exact(spark, sf_dir):
     """The composed curation recipe, ORACLE-EXACT end to end (r5, VERDICT
-    #2): heuristic quality score (>= 4 floor, the no-model stand-in for the
-    flagship's UDF scoring) -> exact dedup + capped LSH + Jaccard verify +
-    connected components -> min-key survivors -> keep-one duplicate-span
-    strip (w=8, 120-bit key) with the 5-kept-words stub floor ->
-    synthesized-url eTLD+1 domain cap (3/domain) -> bucketed token-budget
-    pack (12000 tokens over k=4 content-hash buckets) ranked by the
-    ORIGINAL quality score. Every stage is the same production operator the
-    rows-only ``curate_corpus`` flagship runs; the DuckDB twin chains the
-    verified per-stage SQL fragments, so the hash match covers the
-    COMPOSITION (stage hand-offs, survivor sets, floor placement, rank
-    keys), not just the ingredients."""
-    d = _t(spark, sf_dir, "documents")
+    #2; extended late-r5 with the two new head stages): canonical-URL
+    dedup over synthesized COLLIDING dirty urls (3 variants per canonical
+    url, NULL passthrough — ``dedup.canonical_url_dedup``) -> 13-gram
+    benchmark decontamination against the doc_id%7 slice
+    (``dedup.decontaminate``, drop mode) -> heuristic quality score (>= 4
+    floor, the no-model stand-in for the flagship's UDF scoring) -> exact
+    dedup + capped LSH + Jaccard verify + connected components -> min-key
+    survivors -> keep-one duplicate-span strip (w=8, 120-bit key) with the
+    5-kept-words stub floor -> synthesized-url eTLD+1 domain cap
+    (3/domain) -> bucketed token-budget pack (12000 tokens over k=4
+    content-hash buckets) ranked by the ORIGINAL quality score. Every
+    stage is the same production operator the rows-only ``curate_corpus``
+    flagship runs; the DuckDB twin chains the verified per-stage SQL
+    fragments, so the hash match covers the COMPOSITION (stage hand-offs,
+    survivor sets, floor placement, rank keys), not just the
+    ingredients."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("url0", _collide_url_col())
+    )
+    d = dedup.canonical_url_dedup(d, url_col="url0").drop("url0")
+    cont = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    d = dedup.decontaminate(d, cont, w=13, mode="drop")
     scored = textanalysis.quality_score(d).select("doc_id", "score")
     kept = d.select("doc_id", "source", "text").join(
         scored.filter(F.col("score") >= 4), "doc_id"
