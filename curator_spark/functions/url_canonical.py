@@ -21,20 +21,31 @@ newline-sensitive Java ``$``):
    string (mailto:, relative paths, garbage: not this function's job).
 4. Scheme lowercased. Authority: userinfo (``^[^@]*@``) stripped, host
    lowercased, the scheme's DEFAULT port stripped (http :80, https :443 —
-   other schemes keep any port), then ONE trailing host dot stripped
-   (port-less hosts only; ``com.:8080`` keeps its dot by contract).
-5. Query: tracking params removed (``utm_*``, ``gclid``, ``fbclid`` —
+   other schemes keep any port), then trailing host dots stripped
+   (port-less hosts only; ``com.:8080`` keeps its dot by contract; ALL
+   trailing dots go so the function is idempotent — r5 review).
+5. QUERY ONLY (everything from the first ``?`` — the path is split off
+   first, so a legal RFC-3986 ``&`` inside the path is never touched):
+   tracking params removed (``utm_*``, ``gclid``, ``fbclid`` —
    ``name=value`` forms only), delimiters re-collapsed, trailing ``?``/
    ``&`` runs dropped.
 6. Empty path+query -> ``/`` (so ``http://x.com`` == ``http://x.com/``);
-   a bare query gets the ``/`` prefix. Path case/encoding untouched
+   a bare query gets the ``/`` prefix. Path case/encoding/&s untouched
    (paths are case-sensitive; percent-decoding is NOT attempted).
 
-Scale note: pure codegen, no UDF. The default-port CASE references the
-(host-regex) subexpression in each branch and codegen does NOT CSE across
-CASE branches (see BENCH.md round-4 eTLD+1 note) — in a hot path, stage
-``canonical_url`` once via ``withColumn`` instead of referencing it from
-several conditional expressions.
+Idempotent: canonical output canonicalizes to itself (pinned in
+test_url_canonical incl. the multi-dot and path-``&`` classes).
+
+Scale note: pure codegen, no UDF. ``canonical_url`` is the SPEC form: its
+CASE branches reference the host/query regex chains conditionally, and
+codegen does NOT CSE across CASE branches (the r4 eTLD+1 lesson) — each
+chain re-evaluates per branch reference, measured 9x slower than the
+staged form at 4.8M urls (16.8-18.5 s vs 1.9-2.9 s, BENCH.md round-5).
+Hot paths (``dedup.canonical_url_dedup``, registry queries) use
+``with_canonical_url`` below: the same chain with every expensive
+intermediate staged as a projected alias (CollapseProject preserves
+non-cheap multiply-referenced aliases), pinned value-identical to this
+spec in test_url_canonical.
 """
 
 from __future__ import annotations
@@ -65,11 +76,16 @@ def canonical_url(url: Column) -> Column:
         .when(lsch == "https", F.regexp_replace(host, r":443\z", ""))
         .otherwise(host)
     )
-    host = F.regexp_replace(host, r"\.\z", "")
+    host = F.regexp_replace(host, r"\.+\z", "")
 
-    r = F.regexp_replace(rest, _TRACK_RE, "$1")
-    r = F.regexp_replace(r, _COLLAPSE_RE, "$1")
-    r = F.regexp_replace(r, r"[?&]+\z", "")
+    # split path from query FIRST: '&' is a legal path char (r5 review —
+    # cleaning the combined string merged distinct '&'-bearing paths)
+    ppart = F.regexp_extract(rest, r"^([^?]*)", 1)
+    qry = F.regexp_replace(rest, r"^[^?]*", "")
+    q1 = F.regexp_replace(qry, _TRACK_RE, "$1")
+    q2 = F.regexp_replace(q1, _COLLAPSE_RE, "$1")
+    q3 = F.regexp_replace(q2, r"[?&]+\z", "")
+    r = F.concat(ppart, q3)
     path = (
         F.when(r == "", F.lit("/"))
         .when(r.startswith("?"), F.concat(F.lit("/"), r))
@@ -81,6 +97,70 @@ def canonical_url(url: Column) -> Column:
     return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
+def with_canonical_url(df, url_col: str, out_col: str):
+    """SHIPPED form: ``df`` plus ``out_col`` = canonical url of
+    ``url_col``, value-identical to ``canonical_url`` (pinned) but ~9x
+    faster — every expensive intermediate (fragment-stripped string,
+    authority, host, query) is staged as its own projected alias exactly
+    once, so the CASE branches reference cheap columns instead of
+    re-evaluating regex chains (codegen never CSEs across CASE branches;
+    BENCH.md round-5 A/B). Temp columns use the ``_cu_`` prefix and are
+    dropped."""
+    tmp = ["_cu_s", "_cu_sch", "_cu_auth", "_cu_rest", "_cu_h0", "_cu_h1",
+           "_cu_host", "_cu_pp", "_cu_q", "_cu_r", "_cu_path"]
+    clash = set(tmp) & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has reserved column(s) {sorted(clash)}")
+    u = F.col(url_col)
+    d = (
+        df.withColumn("_cu_s", F.regexp_replace(F.trim(u), r"#[\s\S]*", ""))
+        .withColumn("_cu_sch", F.lower(F.regexp_extract("_cu_s", _SCHEME_RE, 1)))
+        .withColumn("_cu_auth", F.regexp_extract("_cu_s", _AUTH_RE, 1))
+        .withColumn("_cu_rest", F.regexp_replace("_cu_s", _HEAD_RE, ""))
+        .withColumn("_cu_h0", F.lower(F.regexp_replace("_cu_auth", r"^[^@]*@", "")))
+        .withColumn(
+            "_cu_h1",
+            F.when(F.col("_cu_sch") == "http", F.regexp_replace("_cu_h0", r":80\z", ""))
+            .when(F.col("_cu_sch") == "https", F.regexp_replace("_cu_h0", r":443\z", ""))
+            .otherwise(F.col("_cu_h0")),
+        )
+        .withColumn("_cu_host", F.regexp_replace("_cu_h1", r"\.+\z", ""))
+        .withColumn("_cu_pp", F.regexp_extract("_cu_rest", r"^([^?]*)", 1))
+        .withColumn(
+            "_cu_q",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace("_cu_rest", r"^[^?]*", ""),
+                        _TRACK_RE,
+                        "$1",
+                    ),
+                    _COLLAPSE_RE,
+                    "$1",
+                ),
+                r"[?&]+\z",
+                "",
+            ),
+        )
+        .withColumn("_cu_r", F.concat("_cu_pp", "_cu_q"))
+        .withColumn(
+            "_cu_path",
+            F.when(F.col("_cu_r") == "", F.lit("/"))
+            .when(F.col("_cu_r").startswith("?"), F.concat(F.lit("/"), F.col("_cu_r")))
+            .otherwise(F.col("_cu_r")),
+        )
+        .withColumn(
+            out_col,
+            F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
+                F.when(F.col("_cu_sch") == "", F.col("_cu_s")).otherwise(
+                    F.concat("_cu_sch", F.lit("://"), "_cu_host", "_cu_path")
+                )
+            ),
+        )
+    )
+    return d.drop(*tmp)
+
+
 _P_FRAG = re.compile(r"#[\s\S]*")
 _P_SCHEME = re.compile(_SCHEME_RE)
 _P_AUTH = re.compile(_AUTH_RE)
@@ -88,10 +168,12 @@ _P_HEAD = re.compile(_HEAD_RE)
 _P_USER = re.compile(r"^[^@]*@")
 _P_P80 = re.compile(r":80\Z")
 _P_P443 = re.compile(r":443\Z")
-_P_DOT = re.compile(r"\.\Z")
+_P_DOT = re.compile(r"\.+\Z")
 _P_TRACK = re.compile(_TRACK_RE)
 _P_COLLAPSE = re.compile(_COLLAPSE_RE)
 _P_TAIL = re.compile(r"[?&]+\Z")
+_P_PPART = re.compile(r"^([^?]*)")
+_P_QCUT = re.compile(r"^[^?]*")
 
 
 def canonical_url_py(url: str | None) -> str | None:
@@ -113,9 +195,12 @@ def canonical_url_py(url: str | None) -> str | None:
         host = _P_P443.sub("", host)
     host = _P_DOT.sub("", host)
 
-    r = _P_TRACK.sub(r"\1", rest)
-    r = _P_COLLAPSE.sub(r"\1", r)
-    r = _P_TAIL.sub("", r)
+    ppart = _P_PPART.match(rest).group(1)
+    qry = _P_QCUT.sub("", rest, count=1)
+    q = _P_TRACK.sub(r"\1", qry)
+    q = _P_COLLAPSE.sub(r"\1", q)
+    q = _P_TAIL.sub("", q)
+    r = ppart + q
     path = "/" if r == "" else ("/" + r if r.startswith("?") else r)
     return f"{lsch}://{host}{path}"
 
@@ -135,12 +220,15 @@ def canonical_url_sql(col: str) -> str:
         f"WHEN {lsch} = 'https' THEN regexp_replace({host0}, ':443$', '') "
         f"ELSE {host0} END"
     )
-    host = f"regexp_replace({host1}, '\\.$', '')"
+    host = f"regexp_replace({host1}, '\\.+$', '')"
 
     track = _TRACK_RE.replace("'", "''")
-    r1 = f"regexp_replace({rest}, '{track}', '\\1', 'g')"
-    r2 = f"regexp_replace({r1}, '{_COLLAPSE_RE}', '\\1', 'g')"
-    r3 = f"regexp_replace({r2}, '[?&]+$', '')"
+    ppart = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    qry = f"regexp_replace({rest}, '^[^?]*', '')"
+    q1 = f"regexp_replace({qry}, '{track}', '\\1', 'g')"
+    q2 = f"regexp_replace({q1}, '{_COLLAPSE_RE}', '\\1', 'g')"
+    q3 = f"regexp_replace({q2}, '[?&]+$', '')"
+    r3 = f"({ppart} || {q3})"
     path = (
         f"CASE WHEN {r3} = '' THEN '/' "
         f"WHEN {r3} LIKE '?%' THEN '/' || {r3} "

@@ -1225,9 +1225,15 @@ def canonical_url_dedup(
 
     Keep rule (pure function of row content, reshuffle/retry-
     deterministic): newest ``ts_col`` first when given (re-crawls keep the
-    freshest copy), then lexicographically smallest ``url_col``. Rows
-    whose ``url_col`` is NULL have no URL identity and pass through
-    untouched. Output schema = input schema.
+    freshest copy), then lexicographically smallest ``url_col``, then —
+    so a full (url, ts) tie between rows with DIFFERENT content cannot
+    pick a partition-arrival-order winner (r5 review; the domain_cap
+    tiebreak class) — ``xxhash64`` over every input column; rows that tie
+    on that too are byte-identical and either is the same survivor. Rows
+    with NO url identity pass through untouched: a NULL ``url_col`` or
+    one whose canonical form is EMPTY (blank, whitespace-only or
+    fragment-only urls — r5 review: these must not collapse into one
+    accidental ''-keyed group). Output schema = input schema.
 
     Plan: one hash shuffle on the canonical key; the rank-1 filter rides
     Spark's WindowGroupLimit pushdown (same shape as ``domain_cap``,
@@ -1236,23 +1242,33 @@ def canonical_url_dedup(
     ships ~1 row per task, not 10^6 rows to one reducer."""
     from pyspark.sql import Window
 
-    from ..functions.url_canonical import canonical_url
+    from ..functions.url_canonical import with_canonical_url
 
     if "_canon" in df.columns or "_rk1" in df.columns:
         raise ValueError("input already has a reserved _canon/_rk1 column")
-    null_rows = df.filter(F.col(url_col).isNull())
-    order = [F.col(url_col).asc()]
+    # no-identity ⟺ canonical form is NULL or '' ⟺ the RAW url is NULL or
+    # (spaces + optional fragment) only — ONE cheap scan-pushable regex on
+    # the raw column. Splitting on the COMPUTED canonical instead inlines
+    # the whole staged regex chain into both union subtrees' filter
+    # predicates (aliases don't survive predicate pushdown) — measured 12 s
+    # vs 1.5-4 s at 1.2M rows (BENCH.md round-5).
+    no_identity = F.col(url_col).isNull() | F.col(url_col).rlike(
+        r"^ *(#[\s\S]*)?\z"
+    )
+    order = [
+        F.col(url_col).asc(),
+        F.xxhash64(*[F.col(c) for c in df.columns]).asc(),
+    ]
     if ts_col is not None:
         order = [F.col(ts_col).desc_nulls_last()] + order
     w = Window.partitionBy("_canon").orderBy(*order)
     kept = (
-        df.filter(F.col(url_col).isNotNull())
-        .withColumn("_canon", canonical_url(F.col(url_col)))
+        with_canonical_url(df.filter(~no_identity), url_col, "_canon")
         .withColumn("_rk1", F.row_number().over(w))
         .filter(F.col("_rk1") == 1)
         .drop("_canon", "_rk1")
     )
-    return kept.unionByName(null_rows)
+    return kept.unionByName(df.filter(no_identity))
 
 
 def strip_duplicate_spans(

@@ -1276,7 +1276,11 @@ def q_scalar_funcs(spark, sf_dir):
     synthesized dirty url lighting every normalization branch (the
     C4/CCNet canonical-URL-identity step; python twin + DuckDB generator
     pinned three-engine-equal in test_url_canonical)."""
-    d = _t(spark, sf_dir, "documents").withColumn("dirty", _dirty_url_col())
+    d = url_canonical.with_canonical_url(
+        _t(spark, sf_dir, "documents").withColumn("dirty", _dirty_url_col()),
+        "dirty",
+        "canon_url",
+    )
     return d.select(
         "doc_id",
         F.upper("source").alias("src_upper"),
@@ -1285,7 +1289,7 @@ def q_scalar_funcs(spark, sf_dir):
         F.regexp_replace(F.substring("text", 1, 40), r" ", "_").alias("head_snake"),
         F.length(F.trim(F.col("text"))).cast("long").alias("trimmed_len"),
         F.round(F.col("n_chars") / F.lit(4.0), 2).alias("est_tokens"),
-        url_canonical.canonical_url(F.col("dirty")).alias("canon_url"),
+        "canon_url",
     )
 
 

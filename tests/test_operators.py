@@ -1409,6 +1409,12 @@ def test_canonical_url_dedup_keep_rule(spark):
         # NULL url rows have no identity: ALL pass through
         (None, T(2024, 1, 1), "n1"),
         (None, T(2024, 2, 1), "n2"),
+        # DEGENERATE urls (canonical form = '') also have no identity and
+        # must NOT collapse into one ''-keyed group (r5 review)
+        ("", T(2024, 1, 1), "e1"),
+        ("   ", T(2024, 1, 1), "e2"),
+        ("#a", T(2024, 1, 1), "e3"),
+        ("#b", T(2024, 1, 1), "e4"),
     ]
     df = spark.createDataFrame(rows, "url string, warc_ts timestamp, tag string")
     got = {r.tag for r in dedup.canonical_url_dedup(df, ts_col="warc_ts").collect()}
@@ -1416,7 +1422,7 @@ def test_canonical_url_dedup_keep_rule(spark):
     # b-group -> min url string wins
     assert "newest" in got and "old" not in got and "mid" not in got
     assert ("http://B.com/q" < "http://b.com/q?utm_medium=m") == ("b-plain" in got)
-    assert {"c", "n1", "n2"} <= got and len(got) == 5
+    assert {"c", "n1", "n2", "e1", "e2", "e3", "e4"} <= got and len(got) == 9
 
     # schema passthrough + determinism under repartition
     assert dedup.canonical_url_dedup(df, ts_col="warc_ts").columns == df.columns
@@ -1435,3 +1441,22 @@ def test_canonical_url_dedup_keep_rule(spark):
     # reserved internal names refused
     with pytest.raises(ValueError):
         dedup.canonical_url_dedup(df.withColumn("_canon", F.lit(1)))
+
+
+def test_canonical_url_dedup_full_tie_is_deterministic(spark):
+    """A full (url, ts) tie between rows with DIFFERENT content must pick
+    the same survivor under any partitioning (r5 review: without a
+    content tiebreak, row_number falls back to partition-arrival order —
+    the domain_cap r4 class)."""
+    import datetime as dt
+
+    rows = [
+        ("http://t.com/p", dt.datetime(2024, 1, 1), f"content-{i}") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, body string")
+    winners = set()
+    for parts in (1, 3, 7, 32):
+        got = dedup.canonical_url_dedup(df.repartition(parts), ts_col="warc_ts").collect()
+        assert len(got) == 1
+        winners.add(got[0].body)
+    assert len(winners) == 1, winners  # same survivor at every partitioning

