@@ -14,14 +14,23 @@ deliberately expressible identically in Java regex, RE2 and python re —
 end-of-text anchors are ``\\z`` / ``$`` / ``\\Z`` per engine, never the
 newline-sensitive Java ``$``):
 
-1. NULL -> NULL. Leading/trailing ASCII SPACES (0x20 only) trimmed.
-2. Fragment stripped: first ``#`` and everything after (``#[\\s\\S]*`` —
-   the class union is engine-independent even where ``\\s`` differs).
+1. NULL -> NULL. Fragment stripped FIRST, then leading/trailing ASCII
+   SPACES (0x20 only) trimmed — trim-after-strip, so a fragment preceded
+   by spaces cannot leave a trailing space behind (idempotence, r5
+   fuzz).
+2. Fragment = first ``#`` and everything after (``#[\\s\\S]*`` — the
+   class union is engine-independent even where ``\\s`` differs). The
+   rebuilt output is space-trimmed once more (a cleaned query can expose
+   a trailing path space).
 3. No ``scheme://`` prefix -> PASSTHROUGH of the trimmed, fragment-less
    string (mailto:, relative paths, garbage: not this function's job).
-4. Scheme lowercased. Authority: userinfo (``^[^@]*@``) stripped, host
-   lowercased, the scheme's DEFAULT port stripped (http :80, https :443 —
-   other schemes keep any port), then trailing host dots stripped
+4. Scheme lowercased. Authority: userinfo stripped through the LAST
+   ``@`` (``^[\s\S]*@`` greedy — the WHATWG rule; a first-@ strip is
+   not idempotent when garbage authorities carry more ``@``s), host
+   lowercased, the scheme's DEFAULT port run stripped (``(:80)+`` for
+   http, ``(:443)+`` for https — the run, not one copy, so stacked
+   garbage ports can't need a second pass; other schemes keep any
+   port), then trailing host dots stripped
    (port-less hosts only; ``com.:8080`` keeps its dot by contract; ALL
    trailing dots go so the function is idempotent — r5 review).
 5. QUERY ONLY (everything from the first ``?`` — the path is split off
@@ -64,16 +73,16 @@ _COLLAPSE_RE = r"([?&])&+"
 
 def canonical_url(url: Column) -> Column:
     """Spark Column form (codegen regexp chain; see module contract)."""
-    s = F.regexp_replace(F.trim(url), r"#[\s\S]*", "")
+    s = F.trim(F.regexp_replace(url, r"#[\s\S]*", ""))
     scheme = F.regexp_extract(s, _SCHEME_RE, 1)
     lsch = F.lower(scheme)
     auth = F.regexp_extract(s, _AUTH_RE, 1)
     rest = F.regexp_replace(s, _HEAD_RE, "")
 
-    host = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    host = F.lower(F.regexp_replace(auth, r"^[\s\S]*@", ""))
     host = (
-        F.when(lsch == "http", F.regexp_replace(host, r":80\z", ""))
-        .when(lsch == "https", F.regexp_replace(host, r":443\z", ""))
+        F.when(lsch == "http", F.regexp_replace(host, r"(:80)+\z", ""))
+        .when(lsch == "https", F.regexp_replace(host, r"(:443)+\z", ""))
         .otherwise(host)
     )
     host = F.regexp_replace(host, r"\.+\z", "")
@@ -92,7 +101,7 @@ def canonical_url(url: Column) -> Column:
         .otherwise(r)
     )
     out = F.when(scheme == "", s).otherwise(
-        F.concat(lsch, F.lit("://"), host, path)
+        F.trim(F.concat(lsch, F.lit("://"), host, path))
     )
     return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(out)
 
@@ -113,15 +122,15 @@ def with_canonical_url(df, url_col: str, out_col: str):
         raise ValueError(f"input already has reserved column(s) {sorted(clash)}")
     u = F.col(url_col)
     d = (
-        df.withColumn("_cu_s", F.regexp_replace(F.trim(u), r"#[\s\S]*", ""))
+        df.withColumn("_cu_s", F.trim(F.regexp_replace(u, r"#[\s\S]*", "")))
         .withColumn("_cu_sch", F.lower(F.regexp_extract("_cu_s", _SCHEME_RE, 1)))
         .withColumn("_cu_auth", F.regexp_extract("_cu_s", _AUTH_RE, 1))
         .withColumn("_cu_rest", F.regexp_replace("_cu_s", _HEAD_RE, ""))
-        .withColumn("_cu_h0", F.lower(F.regexp_replace("_cu_auth", r"^[^@]*@", "")))
+        .withColumn("_cu_h0", F.lower(F.regexp_replace("_cu_auth", r"^[\s\S]*@", "")))
         .withColumn(
             "_cu_h1",
-            F.when(F.col("_cu_sch") == "http", F.regexp_replace("_cu_h0", r":80\z", ""))
-            .when(F.col("_cu_sch") == "https", F.regexp_replace("_cu_h0", r":443\z", ""))
+            F.when(F.col("_cu_sch") == "http", F.regexp_replace("_cu_h0", r"(:80)+\z", ""))
+            .when(F.col("_cu_sch") == "https", F.regexp_replace("_cu_h0", r"(:443)+\z", ""))
             .otherwise(F.col("_cu_h0")),
         )
         .withColumn("_cu_host", F.regexp_replace("_cu_h1", r"\.+\z", ""))
@@ -153,7 +162,7 @@ def with_canonical_url(df, url_col: str, out_col: str):
             out_col,
             F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
                 F.when(F.col("_cu_sch") == "", F.col("_cu_s")).otherwise(
-                    F.concat("_cu_sch", F.lit("://"), "_cu_host", "_cu_path")
+                    F.trim(F.concat("_cu_sch", F.lit("://"), "_cu_host", "_cu_path"))
                 )
             ),
         )
@@ -165,9 +174,9 @@ _P_FRAG = re.compile(r"#[\s\S]*")
 _P_SCHEME = re.compile(_SCHEME_RE)
 _P_AUTH = re.compile(_AUTH_RE)
 _P_HEAD = re.compile(_HEAD_RE)
-_P_USER = re.compile(r"^[^@]*@")
-_P_P80 = re.compile(r":80\Z")
-_P_P443 = re.compile(r":443\Z")
+_P_USER = re.compile(r"^[\s\S]*@")
+_P_P80 = re.compile(r"(:80)+\Z")
+_P_P443 = re.compile(r"(:443)+\Z")
 _P_DOT = re.compile(r"\.+\Z")
 _P_TRACK = re.compile(_TRACK_RE)
 _P_COLLAPSE = re.compile(_COLLAPSE_RE)
@@ -180,7 +189,7 @@ def canonical_url_py(url: str | None) -> str | None:
     """Python twin — same chain, ``re`` semantics (``\\Z`` = end of text)."""
     if url is None:
         return None
-    s = _P_FRAG.sub("", url.strip(" "))
+    s = _P_FRAG.sub("", url).strip(" ")
     m = _P_SCHEME.match(s)
     if m is None:
         return s
@@ -202,22 +211,25 @@ def canonical_url_py(url: str | None) -> str | None:
     q = _P_TAIL.sub("", q)
     r = ppart + q
     path = "/" if r == "" else ("/" + r if r.startswith("?") else r)
-    return f"{lsch}://{host}{path}"
+    # final trim: a rebuilt path/query may end in spaces the NEXT
+    # application's fragment-strip+trim would remove — trim here so the
+    # output is a fixpoint (r5 fuzz)
+    return f"{lsch}://{host}{path}".strip(" ")
 
 
 def canonical_url_sql(col: str) -> str:
     """DuckDB expression generator (RE2: ``$`` = end of text, replacement
     backrefs ``\\1``, explicit ``'g'`` for global replace)."""
-    s = f"regexp_replace(trim({col}, ' '), '#[\\s\\S]*', '', 'g')"
+    s = f"trim(regexp_replace({col}, '#[\\s\\S]*', '', 'g'), ' ')"
     scheme = f"regexp_extract({s}, '{_SCHEME_RE}', 1)"
     lsch = f"lower({scheme})"
     auth = f"regexp_extract({s}, '{_AUTH_RE}', 1)"
     rest = f"regexp_replace({s}, '{_HEAD_RE}', '')"
 
-    host0 = f"lower(regexp_replace({auth}, '^[^@]*@', ''))"
+    host0 = f"lower(regexp_replace({auth}, '^[\s\S]*@', ''))"
     host1 = (
-        f"CASE WHEN {lsch} = 'http' THEN regexp_replace({host0}, ':80$', '') "
-        f"WHEN {lsch} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"CASE WHEN {lsch} = 'http' THEN regexp_replace({host0}, '(:80)+$', '') "
+        f"WHEN {lsch} = 'https' THEN regexp_replace({host0}, '(:443)+$', '') "
         f"ELSE {host0} END"
     )
     host = f"regexp_replace({host1}, '\\.+$', '')"
@@ -237,5 +249,5 @@ def canonical_url_sql(col: str) -> str:
     return (
         f"CASE WHEN {col} IS NULL THEN NULL "
         f"WHEN {scheme} = '' THEN {s} "
-        f"ELSE {lsch} || '://' || {host} || {path} END"
+        f"ELSE trim({lsch} || '://' || {host} || {path}, ' ') END"
     )

@@ -143,3 +143,47 @@ def test_with_canonical_url_staged_equals_spec(spark):
     assert set(with_canonical_url(df, "u", "c").columns) == {"i", "u", "c"}
     with pytest.raises(ValueError):
         with_canonical_url(df.withColumn("_cu_s", F.lit(1)), "u", "c")
+
+
+def test_fuzz_three_engine_parity_and_idempotence(spark):
+    """4000 seeded random url-ish garbage strings (every metachar the
+    contract touches: #, @, :, ?, &, [, ], dots, spaces, tabs, newlines)
+    — python twin == DuckDB == Spark spec == Spark staged, and the python
+    twin is a fixpoint on its own output. This fuzz found three real
+    contract bugs when first run (fragment-exposed trailing spaces,
+    multi-@ authorities, stacked default ports)."""
+    import random
+
+    from curator_spark.functions.url_canonical import with_canonical_url
+
+    rng = random.Random(0xF00D)
+    alpha = list("abXZ09.:/?&=#@%+-_[]! \t\n~$")
+    prefixes = ["http://", "HTTPS://", "ftp://", "", "//", "http:/", "x://", "  http://"]
+    urls = [
+        rng.choice(prefixes) + "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        for _ in range(4000)
+    ] + [None, ""]
+
+    py = [canonical_url_py(u) for u in urls]
+    assert all(
+        u is None or canonical_url_py(canonical_url_py(u)) == canonical_url_py(u)
+        for u in urls
+    )
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(" + str(i) + "," + ("NULL" if u is None else "'" + u.replace("'", "''") + "'") + ")"
+        for i, u in enumerate(urls)
+    )
+    dk = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {canonical_url_sql('u')} FROM (VALUES {vals}) t(i,u) ORDER BY i"
+        ).fetchall()
+    ]
+    assert py == dk
+
+    df = spark.createDataFrame(list(enumerate(urls)), "i long, u string")
+    sp = [r.c for r in df.select("i", canonical_url(F.col("u")).alias("c")).orderBy("i").collect()]
+    st = [r.c for r in with_canonical_url(df, "u", "c").select("i", "c").orderBy("i").collect()]
+    assert py == sp == st
