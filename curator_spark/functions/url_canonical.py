@@ -3,11 +3,13 @@ BEFORE url-keyed dedup/grouping (C4/CCNet dedup by canonical URL; the
 reference has no URL ops — like `public_suffix` this is a web-corpus
 fidelity op in its own right).
 
-Three pinned-equal forms, same layout as ``functions.public_suffix``:
+Four pinned-equal forms (the ``functions.public_suffix`` layout + the
+shipped staged variant):
 
 - ``canonical_url(col)``   — pure-codegen Spark Column (regexp chain)
 - ``canonical_url_py(s)``  — python twin (the oracle-side unit of reuse)
 - ``canonical_url_sql(c)`` — DuckDB expression generator for oracles
+- ``with_canonical_url(df)`` — SHIPPED staged df form (9x; see below)
 
 Normalization contract (a pure function of the input string; every rule is
 deliberately expressible identically in Java regex, RE2 and python re —
@@ -27,17 +29,19 @@ newline-sensitive Java ``$``):
 4. Scheme lowercased. Authority: userinfo stripped through the LAST
    ``@`` (``^[\s\S]*@`` greedy — the WHATWG rule; a first-@ strip is
    not idempotent when garbage authorities carry more ``@``s), host
-   lowercased, the scheme's DEFAULT port run stripped (``(:80)+`` for
-   http, ``(:443)+`` for https — the run, not one copy, so stacked
-   garbage ports can't need a second pass; other schemes keep any
-   port), then trailing host dots stripped
-   (port-less hosts only; ``com.:8080`` keeps its dot by contract; ALL
-   trailing dots go so the function is idempotent — r5 review).
+   lowercased, then ONE trailing-run strip per scheme: for http/https
+   the run of MIXED default-port and dot tokens (``((:80)|\\.)+`` /
+   ``((:443)|\\.)+``), for other schemes trailing dots only — a single
+   mixed strip, because alternating two passes ('x:80.' exposes ':80',
+   'a.com.:80' exposes '.') is not a fixpoint (r5 review/fuzz). A dot
+   behind a NON-default port (``com.:8080``) stays by contract.
 5. QUERY ONLY (everything from the first ``?`` — the path is split off
    first, so a legal RFC-3986 ``&`` inside the path is never touched):
    tracking params removed (``utm_*``, ``gclid``, ``fbclid`` —
-   ``name=value`` forms only), delimiters re-collapsed, trailing ``?``/
-   ``&`` runs dropped.
+   ``name=value`` forms only), delimiters re-collapsed, and the trailing
+   ``?``/``&`` run dropped INCLUDING interior spaces
+   (``[?& ]*[?&] *`` — the outer space-trim would otherwise expose a new
+   trailing delimiter, breaking idempotence; r5 fuzz).
 6. Empty path+query -> ``/`` (so ``http://x.com`` == ``http://x.com/``);
    a bare query gets the ``/`` prefix. Path case/encoding/&s untouched
    (paths are case-sensitive; percent-decoding is NOT attempted).
@@ -80,12 +84,14 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(s, _HEAD_RE, "")
 
     host = F.lower(F.regexp_replace(auth, r"^[\s\S]*@", ""))
+    # ONE trailing-run strip per scheme: the run may MIX default-port and
+    # dot tokens ('x:80.' / 'a.com.:80') — stripping them in two passes is
+    # not a fixpoint because each strip can expose the other (r5 review)
     host = (
-        F.when(lsch == "http", F.regexp_replace(host, r"(:80)+\z", ""))
-        .when(lsch == "https", F.regexp_replace(host, r"(:443)+\z", ""))
-        .otherwise(host)
+        F.when(lsch == "http", F.regexp_replace(host, r"((:80)|\.)+\z", ""))
+        .when(lsch == "https", F.regexp_replace(host, r"((:443)|\.)+\z", ""))
+        .otherwise(F.regexp_replace(host, r"\.+\z", ""))
     )
-    host = F.regexp_replace(host, r"\.+\z", "")
 
     # split path from query FIRST: '&' is a legal path char (r5 review —
     # cleaning the combined string merged distinct '&'-bearing paths)
@@ -93,7 +99,7 @@ def canonical_url(url: Column) -> Column:
     qry = F.regexp_replace(rest, r"^[^?]*", "")
     q1 = F.regexp_replace(qry, _TRACK_RE, "$1")
     q2 = F.regexp_replace(q1, _COLLAPSE_RE, "$1")
-    q3 = F.regexp_replace(q2, r"[?&]+\z", "")
+    q3 = F.regexp_replace(q2, r"[?& ]*[?&] *\z", "")
     r = F.concat(ppart, q3)
     path = (
         F.when(r == "", F.lit("/"))
@@ -129,11 +135,11 @@ def with_canonical_url(df, url_col: str, out_col: str):
         .withColumn("_cu_h0", F.lower(F.regexp_replace("_cu_auth", r"^[\s\S]*@", "")))
         .withColumn(
             "_cu_h1",
-            F.when(F.col("_cu_sch") == "http", F.regexp_replace("_cu_h0", r"(:80)+\z", ""))
-            .when(F.col("_cu_sch") == "https", F.regexp_replace("_cu_h0", r"(:443)+\z", ""))
-            .otherwise(F.col("_cu_h0")),
+            F.when(F.col("_cu_sch") == "http", F.regexp_replace("_cu_h0", r"((:80)|\.)+\z", ""))
+            .when(F.col("_cu_sch") == "https", F.regexp_replace("_cu_h0", r"((:443)|\.)+\z", ""))
+            .otherwise(F.regexp_replace("_cu_h0", r"\.+\z", "")),
         )
-        .withColumn("_cu_host", F.regexp_replace("_cu_h1", r"\.+\z", ""))
+        .withColumn("_cu_host", F.col("_cu_h1"))
         .withColumn("_cu_pp", F.regexp_extract("_cu_rest", r"^([^?]*)", 1))
         .withColumn(
             "_cu_q",
@@ -147,7 +153,7 @@ def with_canonical_url(df, url_col: str, out_col: str):
                     _COLLAPSE_RE,
                     "$1",
                 ),
-                r"[?&]+\z",
+                r"[?& ]*[?&] *\z",
                 "",
             ),
         )
@@ -175,12 +181,12 @@ _P_SCHEME = re.compile(_SCHEME_RE)
 _P_AUTH = re.compile(_AUTH_RE)
 _P_HEAD = re.compile(_HEAD_RE)
 _P_USER = re.compile(r"^[\s\S]*@")
-_P_P80 = re.compile(r"(:80)+\Z")
-_P_P443 = re.compile(r"(:443)+\Z")
+_P_P80 = re.compile(r"((:80)|\.)+\Z")
+_P_P443 = re.compile(r"((:443)|\.)+\Z")
 _P_DOT = re.compile(r"\.+\Z")
 _P_TRACK = re.compile(_TRACK_RE)
 _P_COLLAPSE = re.compile(_COLLAPSE_RE)
-_P_TAIL = re.compile(r"[?&]+\Z")
+_P_TAIL = re.compile(r"[?& ]*[?&] *\Z")
 _P_PPART = re.compile(r"^([^?]*)")
 _P_QCUT = re.compile(r"^[^?]*")
 
@@ -202,7 +208,8 @@ def canonical_url_py(url: str | None) -> str | None:
         host = _P_P80.sub("", host)
     elif lsch == "https":
         host = _P_P443.sub("", host)
-    host = _P_DOT.sub("", host)
+    else:
+        host = _P_DOT.sub("", host)
 
     ppart = _P_PPART.match(rest).group(1)
     qry = _P_QCUT.sub("", rest, count=1)
@@ -226,20 +233,19 @@ def canonical_url_sql(col: str) -> str:
     auth = f"regexp_extract({s}, '{_AUTH_RE}', 1)"
     rest = f"regexp_replace({s}, '{_HEAD_RE}', '')"
 
-    host0 = f"lower(regexp_replace({auth}, '^[\s\S]*@', ''))"
-    host1 = (
-        f"CASE WHEN {lsch} = 'http' THEN regexp_replace({host0}, '(:80)+$', '') "
-        f"WHEN {lsch} = 'https' THEN regexp_replace({host0}, '(:443)+$', '') "
-        f"ELSE {host0} END"
+    host0 = f"lower(regexp_replace({auth}, '^[\\s\\S]*@', ''))"
+    host = (
+        f"CASE WHEN {lsch} = 'http' THEN regexp_replace({host0}, '((:80)|\\.)+$', '') "
+        f"WHEN {lsch} = 'https' THEN regexp_replace({host0}, '((:443)|\\.)+$', '') "
+        f"ELSE regexp_replace({host0}, '\\.+$', '') END"
     )
-    host = f"regexp_replace({host1}, '\\.+$', '')"
 
     track = _TRACK_RE.replace("'", "''")
     ppart = f"regexp_extract({rest}, '^([^?]*)', 1)"
     qry = f"regexp_replace({rest}, '^[^?]*', '')"
     q1 = f"regexp_replace({qry}, '{track}', '\\1', 'g')"
     q2 = f"regexp_replace({q1}, '{_COLLAPSE_RE}', '\\1', 'g')"
-    q3 = f"regexp_replace({q2}, '[?&]+$', '')"
+    q3 = f"regexp_replace({q2}, '[?& ]*[?&] *$', '')"
     r3 = f"({ppart} || {q3})"
     path = (
         f"CASE WHEN {r3} = '' THEN '/' "
